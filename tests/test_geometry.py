@@ -1,0 +1,213 @@
+"""Geometry core spec tests (SURVEY.md §4: geometry round-trips vs oracles)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bihome_tpu import geometry
+from tests import oracles
+
+
+RNG = np.random.RandomState(0)
+
+
+def random_corners_deltas(batch=4, rho=32, patch=128, img_w=320, img_h=240):
+    corners = []
+    deltas = []
+    for _ in range(batch):
+        px = RNG.randint(rho + patch // 2, img_w - rho - patch // 2 + 1)
+        py = RNG.randint(rho + patch // 2, img_h - rho - patch // 2 + 1)
+        c = np.array([(px - patch // 2, py - patch // 2),
+                      (px + patch // 2, py - patch // 2),
+                      (px + patch // 2, py + patch // 2),
+                      (px - patch // 2, py + patch // 2)], dtype=np.float64)
+        corners.append(c)
+        deltas.append(RNG.randint(-rho, rho, (4, 2)).astype(np.float64))
+    return np.stack(corners), np.stack(deltas)
+
+
+class TestPerspectiveTransform:
+    def test_maps_corners_exactly(self):
+        corners, deltas = random_corners_deltas()
+        h = geometry.four_point_to_homography(jnp.array(corners),
+                                              jnp.array(deltas))
+        mapped = geometry.transform_points(h, jnp.array(corners))
+        np.testing.assert_allclose(np.asarray(mapped), corners + deltas,
+                                   atol=2e-3)
+
+    def test_matches_float64_oracle(self):
+        corners, deltas = random_corners_deltas()
+        h = np.asarray(geometry.four_point_to_homography(
+            jnp.array(corners), jnp.array(deltas)))
+        for i in range(len(corners)):
+            h_ref = oracles.solve_homography_4pt(corners[i],
+                                                 corners[i] + deltas[i])
+            np.testing.assert_allclose(h[i], h_ref, rtol=1e-4, atol=1e-5)
+
+    def test_identity_delta(self):
+        corners, _ = random_corners_deltas()
+        h = geometry.four_point_to_homography(
+            jnp.array(corners), jnp.zeros_like(jnp.array(corners)))
+        np.testing.assert_allclose(np.asarray(h),
+                                   np.tile(np.eye(3), (len(corners), 1, 1)),
+                                   atol=1e-5)
+
+    def test_crop_flag_shifts_to_origin(self):
+        corners, deltas = random_corners_deltas(batch=2)
+        h_crop = geometry.four_point_to_homography(
+            jnp.array(corners), jnp.array(deltas), crop=True)
+        shifted = corners - corners[:, 0:1]
+        h_manual = geometry.four_point_to_homography(
+            jnp.array(shifted), jnp.array(deltas))
+        np.testing.assert_allclose(np.asarray(h_crop), np.asarray(h_manual),
+                                   atol=1e-6)
+
+    def test_transform_points_oracle(self):
+        corners, deltas = random_corners_deltas(batch=2)
+        h = np.stack([oracles.solve_homography_4pt(corners[i],
+                                                   corners[i] + deltas[i])
+                      for i in range(2)])
+        pts = RNG.uniform(0, 320, (2, 50, 2))
+        got = geometry.transform_points(jnp.array(h, jnp.float32),
+                                        jnp.array(pts, jnp.float32))
+        want = np.stack([oracles.apply_homography(h[i], pts[i])
+                         for i in range(2)])
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=2e-3)
+
+
+class TestWarp:
+    def test_identity_warp(self):
+        img = RNG.uniform(0, 255, (1, 12, 17, 3)).astype(np.float32)
+        h = jnp.tile(jnp.eye(3)[None], (1, 1, 1))
+        out = geometry.warp_image(jnp.array(img), h)
+        np.testing.assert_allclose(np.asarray(out), img, atol=1e-4)
+
+    def test_translation_is_shift(self):
+        img = RNG.uniform(0, 255, (1, 10, 10, 1)).astype(np.float32)
+        # dst(x) = src(H x) with H = translation by (2, 3).
+        h = np.eye(3, dtype=np.float32)
+        h[0, 2] = 2.0
+        h[1, 2] = 3.0
+        out = np.asarray(geometry.warp_image(jnp.array(img), jnp.array(h[None])))
+        np.testing.assert_allclose(out[0, :7, :8], img[0, 3:, 2:], atol=1e-4)
+        assert np.all(out[0, 7:, :] == 0)
+        assert np.all(out[0, :, 8:] == 0)
+
+    def test_matches_loop_oracle(self):
+        img = RNG.uniform(0, 255, (14, 16, 2)).astype(np.float32)
+        src = np.array([[0, 0], [16, 0], [16, 14], [0, 14]], dtype=np.float64)
+        dst = src + RNG.uniform(-3, 3, (4, 2))
+        h = oracles.solve_homography_4pt(src, dst)
+        got = np.asarray(geometry.warp_image(
+            jnp.array(img[None]), jnp.array(h[None], dtype=jnp.float32)))[0]
+        want = oracles.warp_image_loop(img, h, (14, 16))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-2)
+
+    def test_matches_torch_grid_sample(self):
+        img = RNG.uniform(0, 255, (32, 40, 1)).astype(np.float32)
+        src = np.array([[0, 0], [40, 0], [40, 32], [0, 32]], dtype=np.float64)
+        dst = src + RNG.uniform(-6, 6, (4, 2))
+        h = oracles.solve_homography_4pt(src, dst)
+        got = np.asarray(geometry.warp_image(
+            jnp.array(img[None]), jnp.array(h[None], dtype=jnp.float32)))[0]
+        want = oracles.warp_image_torch(img, h, (32, 40))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-2)
+
+    def test_warp_perspective_is_inverse_convention(self):
+        img = RNG.uniform(0, 255, (1, 20, 20, 1)).astype(np.float32)
+        src = np.array([[0, 0], [20, 0], [20, 20], [0, 20]], dtype=np.float64)
+        dst = src + RNG.uniform(-2, 2, (4, 2))
+        h = oracles.solve_homography_4pt(src, dst).astype(np.float32)
+        a = geometry.warp_perspective(jnp.array(img), jnp.array(h[None]))
+        b = geometry.warp_image(jnp.array(img),
+                                jnp.array(np.linalg.inv(h)[None]))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+    def test_round_trip_interior(self):
+        # Smooth image: round-tripping white noise through two bilinear
+        # resamplings is legitimately lossy, so test on a smooth signal.
+        yy, xx = np.mgrid[0:48, 0:48].astype(np.float32)
+        img = (100 + 60 * np.sin(xx / 6.0) + 60 * np.cos(yy / 7.0))
+        img = img[None, :, :, None].astype(np.float32)
+        src = np.array([[0, 0], [48, 0], [48, 48], [0, 48]], dtype=np.float64)
+        dst = src + RNG.uniform(-4, 4, (4, 2))
+        h = oracles.solve_homography_4pt(src, dst).astype(np.float32)
+        warped = geometry.warp_image(jnp.array(img), jnp.array(h[None]))
+        back = geometry.warp_image(warped,
+                                   jnp.array(np.linalg.inv(h)[None]))
+        # Compare interior (borders lose info to zero padding).
+        got = np.asarray(back)[0, 12:36, 12:36]
+        want = img[0, 12:36, 12:36]
+        np.testing.assert_allclose(got, want, rtol=0.1, atol=3.0)
+
+    def test_gradients_flow_through_delta(self):
+        img = jnp.array(RNG.uniform(0, 1, (2, 16, 16, 1)).astype(np.float32))
+        corners = geometry.image_corners(16, 16, batch_size=2)
+
+        def loss(delta):
+            h = geometry.four_point_to_homography(corners, delta)
+            warped = geometry.warp_image(img, h)
+            return jnp.sum(warped ** 2)
+
+        g = jax.grad(loss)(jnp.ones((2, 4, 2), jnp.float32) * 0.5)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert np.any(np.abs(np.asarray(g)) > 1e-6)
+
+
+class TestFindHomographyDLT:
+    def test_recovers_exact_homography(self):
+        src_c = np.array([[0, 0], [128, 0], [128, 128], [0, 128]],
+                         dtype=np.float64)
+        delta = RNG.randint(-32, 32, (4, 2)).astype(np.float64)
+        h_true = oracles.solve_homography_4pt(src_c, src_c + delta)
+        pts1 = RNG.uniform(0, 128, (1, 64, 2))
+        pts2 = np.stack([oracles.apply_homography(h_true, pts1[0])])
+        h_fit = np.asarray(geometry.find_homography_dlt(
+            jnp.array(pts1, jnp.float32), jnp.array(pts2, jnp.float32)))[0]
+        # Compare action on points rather than raw entries.
+        probe = RNG.uniform(0, 128, (40, 2))
+        np.testing.assert_allclose(oracles.apply_homography(h_fit, probe),
+                                   oracles.apply_homography(h_true, probe),
+                                   atol=0.1)
+
+    def test_weighted_ignores_outliers(self):
+        src_c = np.array([[0, 0], [64, 0], [64, 64], [0, 64]], np.float64)
+        delta = RNG.uniform(-8, 8, (4, 2))
+        h_true = oracles.solve_homography_4pt(src_c, src_c + delta)
+        pts1 = RNG.uniform(0, 64, (1, 40, 2))
+        pts2 = oracles.apply_homography(h_true, pts1[0])[None]
+        pts2_noisy = pts2.copy()
+        pts2_noisy[0, :10] += 500.0  # gross outliers
+        w = np.ones((1, 40), np.float32)
+        w[0, :10] = 0.0
+        h_fit = np.asarray(geometry.find_homography_dlt(
+            jnp.array(pts1, jnp.float32), jnp.array(pts2_noisy, jnp.float32),
+            jnp.array(w)))[0]
+        probe = RNG.uniform(0, 64, (20, 2))
+        np.testing.assert_allclose(oracles.apply_homography(h_fit, probe),
+                                   oracles.apply_homography(h_true, probe),
+                                   atol=0.2)
+
+    def test_differentiable(self):
+        pts1 = jnp.array(RNG.uniform(0, 64, (2, 32, 2)), jnp.float32)
+        pts2 = pts1 + 1.0
+
+        def loss(p2):
+            h = geometry.find_homography_dlt(pts1, p2)
+            return jnp.sum(h ** 2)
+
+        g = jax.grad(loss)(pts2)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_mace():
+    gt = jnp.zeros((2, 4, 2))
+    hat = jnp.ones((2, 4, 2)) * jnp.array([3.0, 4.0])
+    assert np.allclose(float(geometry.mace(gt, hat)), 5.0)
+
+
+def test_image_corners():
+    c = np.asarray(geometry.image_corners(10, 20, batch_size=3))
+    assert c.shape == (3, 4, 2)
+    np.testing.assert_array_equal(c[0], [[0, 0], [20, 0], [20, 10], [0, 10]])
