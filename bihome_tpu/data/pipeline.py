@@ -1,0 +1,267 @@
+"""On-device synthetic homography-pair generation (the datagen hot path).
+
+TPU-native replacement for the reference's CPU DataLoader-worker chain
+``HomographyNetPrep -> DictToGrayscale -> DictStandardize -> DictToTensor``
+(ref: src/data/transforms.py:421-743, SURVEY §3.3). One jit-compiled,
+PRNG-keyed function maps a uint8 image batch to a training batch dict:
+
+  photometric distortion (per copy) -> random patch position -> random corner
+  perturbation delta -> 4pt homography -> perspective warp -> patch crops ->
+  target ('4_points' delta or 'all_points' dense perspective field) ->
+  grayscale -> standardization.
+
+Differences from the reference, by design (documented for parity review):
+  * Runs batched on the accelerator instead of per-sample in 8 worker
+    processes; randomness is jax.random (distribution-parity, not
+    bit-parity, with np.random.RandomState — see SURVEY §7 hard part 3).
+  * patch_2 is sampled directly at the warped patch grid instead of warping
+    the full image then cropping — mathematically identical (the reference
+    warps 240x320 then slices 128x128; we gather exactly the 128x128 patch
+    coords), ~4.7x less gather work. The full warped image_2 is only
+    materialized when a consumer (e.g. visualization) asks for it.
+  * Layout is NHWC (TPU-native) instead of NCHW; DictToTensor's transpose
+    is therefore a no-op here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bihome_tpu import geometry
+from bihome_tpu.data import photometric
+from bihome_tpu.ops import color
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class PairSpec:
+    """Static datagen configuration (hashable -> usable as a jit static arg).
+
+    Field semantics follow HomographyNetPrep's ctor args
+    (ref: src/data/transforms.py:441-454) plus the grayscale/standardize
+    transforms parsed from the config TRANSFORMS list.
+    """
+    rho: int = 32
+    patch_size: int = 128
+    photometric_keys: Tuple[str, ...] = ('image_1', 'image_2')
+    max_delta: float = 32.0
+    target_gen: str = '4_points'            # '4_points' | 'all_points'
+    grayscale_keys: Tuple[str, ...] = ('patch_1', 'patch_2')
+    standardize_mean: float = 0.443
+    standardize_std: float = 0.129
+    standardize_keys: Tuple[str, ...] = ('patch_1', 'patch_2')
+    # Which of the full-size images to materialize in the output batch.
+    # ('patch_*', 'delta', 'corners', 'target' are always produced.)
+    emit_images: Tuple[str, ...] = ()
+
+    @staticmethod
+    def from_transforms(transforms: Sequence[Dict[str, List[Any]]],
+                        emit_images: Sequence[str] = ()) -> 'PairSpec':
+        """Build from a reference-format TRANSFORMS yaml list.
+
+        Each entry is {ClassName: [args...]} as produced by yaml.full_load on
+        the reference configs (ref: train.py:110-120). Recognized transforms:
+        HomographyNetPrep, DictToGrayscale, DictStandardize, DictToTensor
+        (layout no-op).
+        """
+        kwargs: Dict[str, Any] = {}
+        for entry in transforms:
+            (name, args), = entry.items()
+            if name == 'HomographyNetPrep':
+                kwargs['rho'] = int(args[0])
+                kwargs['patch_size'] = int(args[1])
+                kwargs['photometric_keys'] = tuple(args[2] or ())
+                if len(args) > 3:
+                    kwargs['max_delta'] = float(args[3])
+                if len(args) > 4:
+                    kwargs['target_gen'] = str(args[4])
+            elif name == 'DictToGrayscale':
+                kwargs['grayscale_keys'] = tuple(args[0])
+            elif name == 'DictStandardize':
+                mean, std = args[0], args[1]
+                kwargs['standardize_mean'] = float(
+                    mean[0] if isinstance(mean, (list, tuple)) else mean)
+                kwargs['standardize_std'] = float(
+                    std[0] if isinstance(std, (list, tuple)) else std)
+                kwargs['standardize_keys'] = tuple(args[2])
+            elif name == 'DictToTensor':
+                pass  # NHWC layout throughout; nothing to do.
+            else:
+                raise ValueError(f'Unknown transform in config: {name}')
+        return PairSpec(emit_images=tuple(emit_images), **kwargs)
+
+
+def _sample_patch_position(key: Array, batch: int, image_hw: Tuple[int, int],
+                           spec: PairSpec) -> Tuple[Array, Array]:
+    """Random patch-center (pos_x, pos_y) per sample
+    (ref: src/data/transforms.py:504-509)."""
+    h, w = image_hw
+    ps, rho = spec.patch_size, spec.rho
+    kx, ky = jax.random.split(key)
+    if ps != w:
+        pos_x = jax.random.randint(kx, (batch,), rho + ps // 2,
+                                   w - rho - ps // 2 + 1)
+        pos_y = jax.random.randint(ky, (batch,), rho + ps // 2,
+                                   h - rho - ps // 2 + 1)
+    else:
+        pos_x = jnp.full((batch,), w // 2, jnp.int32)
+        pos_y = jnp.full((batch,), h // 2, jnp.int32)
+    return pos_x, pos_y
+
+
+def _corners_from_position(pos_x: Array, pos_y: Array,
+                           patch_size: int) -> Array:
+    """[(x0,y0),(x1,y0),(x1,y1),(x0,y1)] per sample
+    (ref: src/data/transforms.py:517-520)."""
+    half = patch_size // 2
+    x0 = pos_x - half
+    x1 = pos_x + half
+    y0 = pos_y - half
+    y1 = pos_y + half
+    return jnp.stack([
+        jnp.stack([x0, y0], -1), jnp.stack([x1, y0], -1),
+        jnp.stack([x1, y1], -1), jnp.stack([x0, y1], -1)], axis=1)
+
+
+def _extract_patch(image: Array, x0: Array, y0: Array,
+                   patch_size: int) -> Array:
+    """Static-size dynamic crop [H,W,C] -> [ps,ps,C] at per-sample offsets."""
+    return jax.lax.dynamic_slice(
+        image, (y0, x0, 0), (patch_size, patch_size, image.shape[-1]))
+
+
+def _warp_patch(image: Array, homography: Array, corners0: Array,
+                patch_size: int) -> Array:
+    """Sample the warped second patch directly.
+
+    Equivalent to warp_image(image, H)[y0:y0+ps, x0:x0+ps]
+    (ref: src/data/transforms.py:573-576) but gathers only the patch pixels:
+    patch(i, j) = image(H · (x0+j, y0+i)).
+    """
+    ps = patch_size
+    ys, xs = jnp.meshgrid(jnp.arange(ps, dtype=jnp.float32),
+                          jnp.arange(ps, dtype=jnp.float32), indexing='ij')
+    xa = xs.reshape(-1) + corners0[0]
+    ya = ys.reshape(-1) + corners0[1]
+    pts = jnp.stack([xa, ya, jnp.ones_like(xa)], axis=0)       # [3, ps*ps]
+    mapped = homography @ pts
+    denom = jnp.where(jnp.abs(mapped[2]) < 1e-12, 1e-12, mapped[2])
+    u = mapped[0] / denom
+    v = mapped[1] / denom
+    out = geometry.bilinear_sample(image, u, v)
+    return out.reshape(ps, ps, image.shape[-1])
+
+
+def _perspective_field(homography: Array, corners0: Array,
+                       patch_size: int) -> Array:
+    """Dense 'all_points' target cropped to the patch: pf(p) = H·p − p at
+    absolute image coords p (ref: src/data/transforms.py:635-685).
+    Returns [ps,ps,2] (x-diff, y-diff)."""
+    ps = patch_size
+    ys, xs = jnp.meshgrid(jnp.arange(ps, dtype=jnp.float32),
+                          jnp.arange(ps, dtype=jnp.float32), indexing='ij')
+    xa = xs.reshape(-1) + corners0[0]
+    ya = ys.reshape(-1) + corners0[1]
+    pts = jnp.stack([xa, ya], axis=-1)                         # [ps*ps, 2]
+    mapped = geometry.transform_points(homography[None], pts[None])[0]
+    diff = mapped - pts
+    return diff.reshape(ps, ps, 2)
+
+
+def generate_pairs_deterministic(
+        image: Array, corners: Array, delta: Array, spec: PairSpec,
+        image_1: Optional[Array] = None,
+        image_2: Optional[Array] = None) -> Dict[str, Array]:
+    """Deterministic pair assembly given sampled (corners, delta).
+
+    Split from :func:`generate_pairs` so golden tests can inject fixed
+    randomness and compare against an independent numpy implementation.
+    image/image_1/image_2: [B,H,W,3] float (image_1/2 default to image —
+    i.e. no photometric distortion). corners: [B,4,2] float (int-valued),
+    delta: [B,4,2] float.
+    """
+    if image_1 is None:
+        image_1 = image
+    if image_2 is None:
+        image_2 = image
+    ps = spec.patch_size
+    x0 = corners[:, 0, 0].astype(jnp.int32)
+    y0 = corners[:, 0, 1].astype(jnp.int32)
+
+    patch_1 = jax.vmap(_extract_patch, in_axes=(0, 0, 0, None))(
+        image_1, x0, y0, ps)
+
+    homography = geometry.four_point_to_homography(corners, delta)
+    patch_2 = jax.vmap(_warp_patch, in_axes=(0, 0, 0, None))(
+        image_2, homography, corners[:, 0].astype(jnp.float32), ps)
+
+    batch: Dict[str, Array] = {
+        'patch_1': patch_1,
+        'patch_2': patch_2,
+        'corners': corners.astype(jnp.float32),
+        'delta': delta.astype(jnp.float32),
+        'homography': homography,
+    }
+
+    if spec.target_gen == '4_points':
+        batch['target'] = batch['delta']
+    elif spec.target_gen == 'all_points':
+        batch['target'] = jax.vmap(_perspective_field,
+                                   in_axes=(0, 0, None))(
+            homography, corners[:, 0].astype(jnp.float32), ps)
+    else:
+        raise ValueError(f'Unknown target_gen: {spec.target_gen}')
+
+    if 'image_1' in spec.emit_images:
+        batch['image_1'] = image_1
+    if 'image_2' in spec.emit_images:
+        # Only here do we pay for the full-image warp (vis / photometric-eval).
+        batch['image_2'] = geometry.warp_image(image_2, homography)
+
+    # Grayscale then standardize, mirroring the transform order
+    # (ref: config TRANSFORMS lists).
+    for key in spec.grayscale_keys:
+        if key in batch:
+            batch[key] = color.rgb_to_grayscale(batch[key])
+    for key in spec.standardize_keys:
+        if key in batch:
+            batch[key] = (batch[key] / 255.0
+                          - spec.standardize_mean) / spec.standardize_std
+    return batch
+
+
+def generate_pairs(images: Array, key: Array,
+                   spec: PairSpec) -> Dict[str, Array]:
+    """Full randomized datagen: uint8/float images [B,H,W,3] + key -> batch.
+
+    The TPU-native HomographyNetPrep (ref: src/data/transforms.py:456-725).
+    """
+    images = images.astype(jnp.float32)
+    b, h, w, _ = images.shape
+    k_pd1, k_pd2, k_pos, k_delta = jax.random.split(key, 4)
+
+    image_1 = images
+    if 'image_1' in spec.photometric_keys and spec.max_delta > 0:
+        image_1 = jax.vmap(photometric.photometric_distort_simple,
+                           in_axes=(0, 0, None))(
+            images, jax.random.split(k_pd1, b), spec.max_delta)
+    image_2 = images
+    if 'image_2' in spec.photometric_keys and spec.max_delta > 0:
+        image_2 = jax.vmap(photometric.photometric_distort_simple,
+                           in_axes=(0, 0, None))(
+            images, jax.random.split(k_pd2, b), spec.max_delta)
+
+    pos_x, pos_y = _sample_patch_position(k_pos, b, (h, w), spec)
+    corners = _corners_from_position(pos_x, pos_y, spec.patch_size)
+    # randint(-rho, rho) — high-exclusive, matching np.random.randint
+    # (ref: src/data/transforms.py:538).
+    delta = jax.random.randint(k_delta, (b, 4, 2), -spec.rho, spec.rho)
+
+    return generate_pairs_deterministic(
+        images, corners.astype(jnp.float32), delta.astype(jnp.float32),
+        spec, image_1=image_1, image_2=image_2)
