@@ -1,0 +1,330 @@
+"""The four reference backbones as flax modules (NHWC, data-dict protocol).
+
+Protocol (mirrors ref: SURVEY §2.3): a backbone consumes ``PATCH_KEYS`` from
+the batch dict and returns a dict of new entries keyed by ``TARGET_KEYS``
+(plus masks/features for ContentAware). 'DoubleLine' variants run a second
+pass with the patch order swapped, sharing weights
+(ref: src/backbones/ResNet34.py:42-45 etc.).
+
+TPU note: instead of two sequential forwards, DoubleLine stacks the swapped
+concatenation into one [2B, ...] batch so the convs hit the MXU once with
+twice the batch — same math, half the kernel launches.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from bihome_tpu.models import blocks
+from bihome_tpu.models.resnet import ResNet, conv_init
+
+Array = Any
+
+
+def _bn(train: bool, dtype, name: str):
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, dtype=dtype, name=name)
+
+
+class ResNet34Backbone(nn.Module):
+    """'ResNet34' — the DeTone-style regression backbone
+    (ref: src/backbones/ResNet34.py): torchvision resnet34 with a 2-channel
+    stem and an 8-unit head reshaped to [B,4,2]."""
+    patch_keys: Tuple[str, str] = ('patch_1', 'patch_2')
+    target_keys: Tuple[str, ...] = ('delta_hat_12',)
+    variant: str = 'oneline'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, data: Dict[str, Array],
+                 train: bool = False) -> Dict[str, Array]:
+        net = ResNet(arch='resnet34', num_classes=8, dtype=self.dtype,
+                     name='resnet34')
+        p1 = data[self.patch_keys[0]]
+        p2 = data[self.patch_keys[1]]
+        x12 = jnp.concatenate([p1, p2], axis=-1)
+        out: Dict[str, Array] = {}
+        if self.variant == 'doubleline':
+            x21 = jnp.concatenate([p2, p1], axis=-1)
+            stacked = jnp.concatenate([x12, x21], axis=0)      # [2B,...]
+            o = net(stacked, train=train).reshape(-1, 4, 2)
+            b = p1.shape[0]
+            out[self.target_keys[0]] = o[:b]
+            out[self.target_keys[1]] = o[b:]
+        else:
+            out[self.target_keys[0]] = net(x12, train=train).reshape(-1, 4, 2)
+        return out
+
+
+class RethinkingBackbone(nn.Module):
+    """'Rethinking' — Zeng et al. fully-convolutional encoder/decoder
+    producing a dense 2-channel perspective field at patch resolution
+    (ref: src/backbones/Rethinking.py:27-149)."""
+    patch_keys: Tuple[str, str] = ('patch_1', 'patch_2')
+    target_keys: Tuple[str, ...] = ('pf_hat_12',)
+    variant: str = 'oneline'
+    resnet_block: str = 'ResNet34'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, data: Dict[str, Array],
+                 train: bool = False) -> Dict[str, Array]:
+        p1 = data[self.patch_keys[0]]
+        p2 = data[self.patch_keys[1]]
+        x12 = jnp.concatenate([p1, p2], axis=-1)
+        out: Dict[str, Array] = {}
+        if self.variant == 'doubleline':
+            x21 = jnp.concatenate([p2, p1], axis=-1)
+            stacked = jnp.concatenate([x12, x21], axis=0)
+            o = self._forward(stacked, train)
+            b = p1.shape[0]
+            out[self.target_keys[0]] = o[:b]
+            out[self.target_keys[1]] = o[b:]
+        else:
+            out[self.target_keys[0]] = self._forward(x12, train)
+        return out
+
+    def _forward(self, x, train: bool):
+        dt = self.dtype
+        r50 = self.resnet_block == 'ResNet50'
+
+        # Stage 1: 7x7/2 stem + maxpool (ref: Rethinking.py:31-35).
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    kernel_init=conv_init, dtype=dt, name='layer1_conv')(x)
+        x = _bn(train, dt, 'layer1_bn')(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        if r50:
+            x = blocks.ResNet50ConvBlock(256, 1, dt, name='layer2_0')(x, train)
+            x = blocks.ResNet50IdentityBlock(dt, name='layer2_1')(x, train)
+            x = blocks.ResNet50IdentityBlock(dt, name='layer2_2')(x, train)
+            x = blocks.ResNet50ConvBlock(512, 2, dt, name='layer3_0')(x, train)
+            for i in range(1, 4):
+                x = blocks.ResNet50IdentityBlock(
+                    dt, name=f'layer3_{i}')(x, train)
+            x = blocks.ResNet50ConvBlock(1024, 2, dt,
+                                         name='layer4_0')(x, train)
+            for i in range(1, 6):
+                x = blocks.ResNet50IdentityBlock(
+                    dt, name=f'layer4_{i}')(x, train)
+            x = blocks.ResNet50DeconvBlock(dt, name='layer4_deconv')(x, train)
+            for i in range(3):
+                x = blocks.ResNet50IdentityBlock(
+                    dt, name=f'layer5_{i}')(x, train)
+            x = blocks.ResNet50DeconvBlock(dt, name='layer5_deconv')(x, train)
+            for i in range(2):
+                x = blocks.ResNet50IdentityBlock(
+                    dt, name=f'layer6_{i}')(x, train)
+            x = blocks.ResNet50DeconvBlock(dt, name='layer6_deconv')(x, train)
+            x = blocks.ResNet50IdentityBlock(dt, name='layer7_0')(x, train)
+            x = blocks.ResNet50DeconvBlock(dt, name='layer7_deconv')(x, train)
+            head_mid = 512
+        else:
+            x = blocks.ResNet34ConvBlock(64, 1, dt, name='layer2_0')(x, train)
+            x = blocks.ResNet34IdentityBlock(dt, name='layer2_1')(x, train)
+            x = blocks.ResNet34IdentityBlock(dt, name='layer2_2')(x, train)
+            x = blocks.ResNet34ConvBlock(128, 2, dt, name='layer3_0')(x, train)
+            for i in range(1, 4):
+                x = blocks.ResNet34IdentityBlock(
+                    dt, name=f'layer3_{i}')(x, train)
+            x = blocks.ResNet34ConvBlock(256, 2, dt, name='layer4_0')(x, train)
+            for i in range(1, 6):
+                x = blocks.ResNet34IdentityBlock(
+                    dt, name=f'layer4_{i}')(x, train)
+            # NOTE: the reference uses the ResNet50-flavor deconv block in
+            # the ResNet34 configuration too (ref: Rethinking.py:88,105,120,133).
+            x = blocks.ResNet50DeconvBlock(dt, name='layer4_deconv')(x, train)
+            for i in range(3):
+                x = blocks.ResNet34IdentityBlock(
+                    dt, name=f'layer5_{i}')(x, train)
+            x = blocks.ResNet50DeconvBlock(dt, name='layer5_deconv')(x, train)
+            for i in range(2):
+                x = blocks.ResNet34IdentityBlock(
+                    dt, name=f'layer6_{i}')(x, train)
+            x = blocks.ResNet50DeconvBlock(dt, name='layer6_deconv')(x, train)
+            x = blocks.ResNet34IdentityBlock(dt, name='layer7_0')(x, train)
+            x = blocks.ResNet50DeconvBlock(dt, name='layer7_deconv')(x, train)
+            head_mid = 128
+
+        # Stage 8: 1x1 head -> 2-channel PF (ref: Rethinking.py:140-149).
+        x = nn.Conv(head_mid, (1, 1), use_bias=True, dtype=dt,
+                    name='layer8_conv1')(x)
+        x = _bn(train, dt, 'layer8_bn')(x)
+        x = nn.relu(x)
+        x = nn.Conv(2, (1, 1), use_bias=True, dtype=dt, name='layer8_conv2')(x)
+        return x
+
+
+class MaskPredictor(nn.Module):
+    """5-conv sigmoid attention mask (ref: src/backbones/ContentAware.py:6-52)."""
+    fix_mask: bool = False
+    normalization_strength: float = -1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.fix_mask:
+            return jnp.ones_like(x)
+        widths = [4, 8, 16, 32, 1]
+        out = x
+        for i, wdt in enumerate(widths):
+            out = nn.Conv(wdt, (3, 3), padding=1, use_bias=False,
+                          kernel_init=conv_init, dtype=self.dtype,
+                          name=f'conv{i + 1}')(out)
+            out = _bn(train, self.dtype, f'bn{i + 1}')(out)
+            out = nn.sigmoid(out) if i == len(widths) - 1 else nn.relu(out)
+        if self.normalization_strength > 0:
+            max_value = jnp.max(out.reshape(out.shape[0], -1), axis=1)
+            out = out / (max_value.reshape(-1, 1, 1, 1)
+                         * self.normalization_strength)
+            out = jnp.clip(out, 0.0, 1.0)
+        return out
+
+
+class FeatureExtractor(nn.Module):
+    """3-conv single-channel feature map
+    (ref: src/backbones/ContentAware.py:55-80)."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out = x
+        for i, wdt in enumerate([4, 8, 1]):
+            out = nn.Conv(wdt, (3, 3), padding=1, use_bias=False,
+                          kernel_init=conv_init, dtype=self.dtype,
+                          name=f'conv{i + 1}')(out)
+            out = _bn(train, self.dtype, f'bn{i + 1}')(out)
+            out = nn.relu(out)
+        return out
+
+
+class ContentAwareBackbone(nn.Module):
+    """'ContentAware' — Zhang et al. CA-UDHN
+    (ref: src/backbones/ContentAware.py:83-193): shared mask predictor +
+    feature extractor per patch, resnet34 regressor on masked features."""
+    patch_keys: Tuple[str, str] = ('patch_1', 'patch_2')
+    mask_keys: Tuple[str, str] = ('mask_1', 'mask_2')
+    feature_keys: Tuple[str, str] = ('feature_1', 'feature_2')
+    target_keys: Tuple[str, ...] = ('delta_hat_12',)
+    variant: str = 'doubleline'
+    fix_mask: bool = False
+    mask_normalization_strength: float = -1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, data: Dict[str, Array],
+                 train: bool = False) -> Dict[str, Array]:
+        mask_predictor = MaskPredictor(
+            fix_mask=self.fix_mask,
+            normalization_strength=self.mask_normalization_strength,
+            dtype=self.dtype, name='mask_predictor')
+        feature_extractor = FeatureExtractor(dtype=self.dtype,
+                                             name='feature_extractor')
+        regressor = ResNet(arch='resnet34', num_classes=8, dtype=self.dtype,
+                           name='resnet34')
+
+        p1 = data[self.patch_keys[0]]
+        p2 = data[self.patch_keys[1]]
+        stacked = jnp.concatenate([p1, p2], axis=0)            # [2B,...]
+        m = mask_predictor(stacked, train=train)
+        f = feature_extractor(stacked, train=train)
+        g = m * f
+        b = p1.shape[0]
+        g1, g2 = g[:b], g[b:]
+
+        out: Dict[str, Array] = {
+            self.mask_keys[0]: m[:b], self.mask_keys[1]: m[b:],
+            self.feature_keys[0]: f[:b], self.feature_keys[1]: f[b:],
+        }
+        g12 = jnp.concatenate([g1, g2], axis=-1)
+        if self.variant == 'doubleline':
+            g21 = jnp.concatenate([g2, g1], axis=-1)
+            o = regressor(jnp.concatenate([g12, g21], axis=0),
+                          train=train).reshape(-1, 4, 2)
+            out[self.target_keys[0]] = o[:b]
+            out[self.target_keys[1]] = o[b:]
+        else:
+            out[self.target_keys[0]] = regressor(
+                g12, train=train).reshape(-1, 4, 2)
+        return out
+
+    def extract_features(self, data_or_array, train: bool = False):
+        """Expose the feature extractor for TripletHead's warped-patch
+        features (ref: src/heads/TripletHead.py:60,70)."""
+        return FeatureExtractor(dtype=self.dtype,
+                                name='feature_extractor')(data_or_array,
+                                                          train=train)
+
+
+class HomographyNetBackbone(nn.Module):
+    """'HomographyNet' — original DeTone VGG-style regressor
+    (ref: src/backbones/HomographyNet.py). Conv order is Conv->ReLU->BN
+    like the reference. Not referenced by shipped configs; kept for parity."""
+    patch_keys: Tuple[str, str] = ('patch_1', 'patch_2')
+    target_keys: Tuple[str, ...] = ('delta_hat_12',)
+    image_size: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, data: Dict[str, Array],
+                 train: bool = False) -> Dict[str, Array]:
+        x = jnp.concatenate([data[self.patch_keys[0]],
+                             data[self.patch_keys[1]]], axis=-1)
+        layout = [(64, False), (64, True), (64, False), (64, True),
+                  (128, False), (128, True), (128, False)]
+        if self.image_size == 128:
+            layout += [(128, False)]
+        elif self.image_size == 512:
+            layout += [(128, True), (128, False), (128, True),
+                       (128, False), (128, False)]
+        for i, (wdt, pool) in enumerate(layout):
+            x = nn.Conv(wdt, (3, 3), padding=1, use_bias=True,
+                        dtype=self.dtype, name=f'conv{i + 1}')(x)
+            x = nn.relu(x)
+            x = _bn(train, self.dtype, f'bn{i + 1}')(x)
+            if pool:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(1024, dtype=self.dtype, name='fc1')(x))
+        x = nn.Dense(8, dtype=self.dtype, name='fc2')(x)
+        return {self.target_keys[0]: x.reshape(-1, 4, 2)}
+
+
+def build_backbone(cfg: Dict[str, Any], dtype=jnp.float32) -> nn.Module:
+    """Construct a backbone from a reference MODEL.BACKBONE yaml section
+    (ref: train.py:675-679)."""
+    name = cfg['NAME']
+    variant = str(cfg.get('VARIANT', 'OneLine')).lower()
+    patch_keys = tuple(cfg['PATCH_KEYS'])
+    target_keys = tuple(cfg['TARGET_KEYS'])
+    if name == 'ResNet34':
+        return ResNet34Backbone(patch_keys=patch_keys,
+                                target_keys=target_keys,
+                                variant=variant, dtype=dtype)
+    if name == 'Rethinking':
+        return RethinkingBackbone(patch_keys=patch_keys,
+                                  target_keys=target_keys, variant=variant,
+                                  resnet_block=cfg.get('RESNET_BLOCK',
+                                                       'ResNet34'),
+                                  dtype=dtype)
+    if name == 'ContentAware':
+        return ContentAwareBackbone(
+            patch_keys=patch_keys,
+            mask_keys=tuple(cfg['MASK_KEYS']),
+            feature_keys=tuple(cfg['FEATURE_KEYS']),
+            target_keys=target_keys, variant=variant,
+            fix_mask=bool(cfg.get('FIX_MASK', False)),
+            mask_normalization_strength=float(
+                cfg.get('MASK_NORMALIZATION_STRENGTH', -1)),
+            dtype=dtype)
+    if name == 'HomographyNet':
+        return HomographyNetBackbone(patch_keys=patch_keys,
+                                     target_keys=target_keys,
+                                     image_size=int(cfg.get('IMAGE_SIZE',
+                                                            128)),
+                                     dtype=dtype)
+    raise ValueError(f'Unknown backbone: {name}')

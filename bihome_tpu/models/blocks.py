@@ -1,0 +1,178 @@
+"""Residual / bottleneck / transpose-conv block library for the Rethinking
+backbone — flax equivalents of the reference block zoo
+(ref: src/backbones/utils.py:4-152). NHWC layout.
+
+Naming: 'upper' = main branch, 'lower' = shortcut branch, mirroring the
+reference's upper_branch/lower_branch so weight ports stay mechanical.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from bihome_tpu.models.resnet import conv_init
+
+
+def _bn(train: bool, dtype, name: str):
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, dtype=dtype, name=name)
+
+
+class ResNet34ConvBlock(nn.Module):
+    """Two 3x3 convs + projection shortcut when shape changes
+    (ref: src/backbones/utils.py:85-112)."""
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        upper = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
+                        padding=1, use_bias=False, kernel_init=conv_init,
+                        dtype=self.dtype, name='upper_conv1')(x)
+        upper = _bn(train, self.dtype, 'upper_bn1')(upper)
+        upper = nn.relu(upper)
+        upper = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+                        kernel_init=conv_init, dtype=self.dtype,
+                        name='upper_conv2')(upper)
+        upper = _bn(train, self.dtype, 'upper_bn2')(upper)
+        if x.shape[-1] != self.features:
+            lower = nn.Conv(self.features, (1, 1),
+                            strides=(self.stride,) * 2, use_bias=False,
+                            kernel_init=conv_init, dtype=self.dtype,
+                            name='lower_conv')(x)
+            lower = _bn(train, self.dtype, 'lower_bn')(lower)
+        else:
+            lower = x
+        return nn.relu(upper + lower)
+
+
+class ResNet34IdentityBlock(nn.Module):
+    """Two 3x3 convs + identity shortcut (ref: src/backbones/utils.py:115-131)."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        features = x.shape[-1]
+        upper = nn.Conv(features, (3, 3), padding=1, use_bias=False,
+                        kernel_init=conv_init, dtype=self.dtype,
+                        name='upper_conv1')(x)
+        upper = _bn(train, self.dtype, 'upper_bn1')(upper)
+        upper = nn.relu(upper)
+        upper = nn.Conv(features, (3, 3), padding=1, use_bias=False,
+                        kernel_init=conv_init, dtype=self.dtype,
+                        name='upper_conv2')(upper)
+        upper = _bn(train, self.dtype, 'upper_bn2')(upper)
+        return nn.relu(upper + x)
+
+
+class ResNet50ConvBlock(nn.Module):
+    """Bottleneck conv block with mid = in//stride
+    (ref: src/backbones/utils.py:4-29)."""
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = x.shape[-1] // self.stride
+        upper = nn.Conv(mid, (1, 1), strides=(self.stride,) * 2,
+                        use_bias=False, kernel_init=conv_init,
+                        dtype=self.dtype, name='upper_conv1')(x)
+        upper = _bn(train, self.dtype, 'upper_bn1')(upper)
+        upper = nn.relu(upper)
+        upper = nn.Conv(mid, (3, 3), padding=1, use_bias=False,
+                        kernel_init=conv_init, dtype=self.dtype,
+                        name='upper_conv2')(upper)
+        upper = _bn(train, self.dtype, 'upper_bn2')(upper)
+        upper = nn.relu(upper)
+        upper = nn.Conv(self.features, (1, 1), use_bias=False,
+                        kernel_init=conv_init, dtype=self.dtype,
+                        name='upper_conv3')(upper)
+        upper = _bn(train, self.dtype, 'upper_bn3')(upper)
+        lower = nn.Conv(self.features, (1, 1), strides=(self.stride,) * 2,
+                        use_bias=False, kernel_init=conv_init,
+                        dtype=self.dtype, name='lower_conv')(x)
+        lower = _bn(train, self.dtype, 'lower_bn')(lower)
+        return nn.relu(upper + lower)
+
+
+class ResNet50IdentityBlock(nn.Module):
+    """in -> in/4 -> in/4 -> in bottleneck, identity shortcut
+    (ref: src/backbones/utils.py:32-57)."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        features = x.shape[-1]
+        upper = nn.Conv(features // 4, (1, 1), use_bias=False,
+                        kernel_init=conv_init, dtype=self.dtype,
+                        name='upper_conv1')(x)
+        upper = _bn(train, self.dtype, 'upper_bn1')(upper)
+        upper = nn.relu(upper)
+        upper = nn.Conv(features // 4, (3, 3), padding=1, use_bias=False,
+                        kernel_init=conv_init, dtype=self.dtype,
+                        name='upper_conv2')(upper)
+        upper = _bn(train, self.dtype, 'upper_bn2')(upper)
+        upper = nn.relu(upper)
+        upper = nn.Conv(features, (1, 1), use_bias=False,
+                        kernel_init=conv_init, dtype=self.dtype,
+                        name='upper_conv3')(upper)
+        upper = _bn(train, self.dtype, 'upper_bn3')(upper)
+        return nn.relu(upper + x)
+
+
+class ResNet50DeconvBlock(nn.Module):
+    """2x upsampling block: in -> in/2 channels
+    (ref: src/backbones/utils.py:60-82)."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        features = x.shape[-1]
+        upper = nn.ConvTranspose(features, (2, 2), strides=(2, 2),
+                                 padding='VALID', use_bias=True,
+                                 transpose_kernel=True, dtype=self.dtype,
+                                 name='upper_deconv')(x)
+        upper = nn.Conv(features, (3, 3), padding=1, use_bias=False,
+                        kernel_init=conv_init, dtype=self.dtype,
+                        name='upper_conv1')(upper)
+        upper = _bn(train, self.dtype, 'upper_bn1')(upper)
+        upper = nn.relu(upper)
+        upper = nn.Conv(features // 2, (1, 1), use_bias=False,
+                        kernel_init=conv_init, dtype=self.dtype,
+                        name='upper_conv2')(upper)
+        upper = _bn(train, self.dtype, 'upper_bn2')(upper)
+        lower = nn.ConvTranspose(features // 2, (2, 2), strides=(2, 2),
+                                 padding='VALID', use_bias=False,
+                                 transpose_kernel=True, dtype=self.dtype,
+                                 name='lower_deconv')(x)
+        lower = _bn(train, self.dtype, 'lower_bn')(lower)
+        return nn.relu(upper + lower)
+
+
+class ResNet34DeconvBlock(nn.Module):
+    """2x upsampling block, ResNet34 flavor (ref: src/backbones/utils.py:134-152).
+    Not used by any shipped config but kept for block-library parity."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        features = x.shape[-1]
+        upper = nn.ConvTranspose(features // 2, (2, 2), strides=(2, 2),
+                                 padding='VALID', use_bias=True,
+                                 transpose_kernel=True, dtype=self.dtype,
+                                 name='upper_deconv')(x)
+        upper = nn.Conv(features // 2, (3, 3), padding=1, use_bias=False,
+                        kernel_init=conv_init, dtype=self.dtype,
+                        name='upper_conv1')(upper)
+        upper = _bn(train, self.dtype, 'upper_bn1')(upper)
+        lower = nn.ConvTranspose(features // 2, (2, 2), strides=(2, 2),
+                                 padding='VALID', use_bias=False,
+                                 transpose_kernel=True, dtype=self.dtype,
+                                 name='lower_deconv')(x)
+        lower = _bn(train, self.dtype, 'lower_bn')(lower)
+        return nn.relu(upper + lower)
