@@ -1,0 +1,115 @@
+"""DSAC-softmax hypothesis sampling & scoring, fully batched under jit.
+
+TPU-native equivalent of ref: src/heads/ransac_utils.py:26-161. Per batch
+element: sample `hypothesis_no` point subsets from the dense
+coordinate/mapping field, fit each with the batched DLT
+(geometry.find_homography_dlt), score all hypotheses, softmax(-score).
+
+Everything is one [B*n, ...] batch — no Python loops over hypotheses.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bihome_tpu import geometry
+
+Array = jax.Array
+
+
+def sample_hypotheses(points1: Array, points2: Array, key: Array,
+                      hypothesis_no: int, points_per_hypothesis: int,
+                      point_sampling: str = 'reference-weighted') -> Array:
+    """Sample hypotheses and fit homographies.
+
+    points1/points2: [B,N,2] -> [B,n,3,3].
+
+    'reference-weighted' draws point indices with probability proportional
+    to the index value, replicating torch.multinomial(arange(N), ...) in
+    the reference (ref: src/heads/ransac_utils.py:54-57); 'uniform' draws
+    uniformly.
+    """
+    b, n_points, _ = points1.shape
+    shape = (b, hypothesis_no * points_per_hypothesis)
+    if point_sampling == 'reference-weighted':
+        # P(i) ∝ i; index 0 never drawn. categorical over log-weights.
+        logits = jnp.log(jnp.arange(1, n_points, dtype=jnp.float32))
+        idx = 1 + jax.random.categorical(
+            key, logits[None, :], shape=(shape[1], b)).T   # [B, n*pph]
+    elif point_sampling == 'uniform':
+        idx = jax.random.randint(key, shape, 0, n_points)
+    else:
+        raise ValueError(point_sampling)
+
+    p1 = jnp.take_along_axis(points1, idx[..., None], axis=1)
+    p2 = jnp.take_along_axis(points2, idx[..., None], axis=1)
+    p1 = p1.reshape(b * hypothesis_no, points_per_hypothesis, 2)
+    p2 = p2.reshape(b * hypothesis_no, points_per_hypothesis, 2)
+    h = geometry.find_homography_dlt(p1, p2)
+    return h.reshape(b, hypothesis_no, 3, 3)
+
+
+def score_hypotheses(points1: Array, points2: Array, homographies: Array,
+                     scoring_method: str = 'repr_error',
+                     distance_threshold: float = 3.0,
+                     distance_beta: float = 1.0,
+                     score_cnn: Optional[Callable[[Array], Array]] = None
+                     ) -> Tuple[Array, Array]:
+    """Score each hypothesis; softmax(-scores) over hypotheses.
+
+    points: [B,N,2]; homographies: [B,n,3,3] ->
+    (scores [B,n], reprojection [B,n,N(,2)]).
+    Mirrors ref: src/heads/ransac_utils.py:76-128.
+    """
+    b, n_points, _ = points1.shape
+    n = homographies.shape[1]
+    p1 = jnp.broadcast_to(points1[:, None], (b, n, n_points, 2)).reshape(
+        b * n, n_points, 2)
+    p2 = jnp.broadcast_to(points2[:, None], (b, n, n_points, 2)).reshape(
+        b * n, n_points, 2)
+    h = homographies.reshape(b * n, 3, 3)
+    p1_t = geometry.transform_points(h, p1)
+
+    if scoring_method == 'repr_error':
+        err = jnp.sum(jnp.abs(p1_t - p2), axis=-1)                # [B*n,N]
+        scores = jnp.sum(err, axis=-1).reshape(b, n)
+        reproj = err.reshape(b, n, n_points)
+    elif scoring_method == 'inliers_ratio':
+        err = jnp.linalg.norm(p1_t - p2, axis=-1)
+        scores = jnp.mean((err < distance_threshold).astype(jnp.float32),
+                          axis=-1).reshape(b, n)
+        reproj = err.reshape(b, n, n_points)
+    elif scoring_method == 'soft_inliers_ratio':
+        err = jnp.linalg.norm(p1_t - p2, axis=-1)
+        soft = jax.nn.sigmoid(distance_beta * (err - distance_threshold))
+        scores = jnp.sum(soft, axis=-1).reshape(b, n)
+        reproj = soft.reshape(b, n, n_points)
+    elif scoring_method == 'score_cnn':
+        err = p1_t - p2                                           # [B*n,N,2]
+        side = int(round(n_points ** 0.5))
+        img = err.reshape(b * n, side, side, 2)
+        scores = score_cnn(img).reshape(b, n)
+        reproj = err.reshape(b, n, n_points, 2)
+    else:
+        raise ValueError(scoring_method)
+
+    scores = jax.nn.softmax(-scores, axis=-1)
+    return scores, reproj
+
+
+def refine_hypotheses(points1: Array, points2: Array, distances: Array,
+                      hypothesis_no: int) -> Array:
+    """Weighted-DLT refinement with weights 1 - distance (unused by shipped
+    configs, kept for parity with ref: src/heads/ransac_utils.py:130-145)."""
+    b, n_points, _ = points1.shape
+    n = hypothesis_no
+    p1 = jnp.broadcast_to(points1[:, None], (b, n, n_points, 2)).reshape(
+        b * n, n_points, 2)
+    p2 = jnp.broadcast_to(points2[:, None], (b, n, n_points, 2)).reshape(
+        b * n, n_points, 2)
+    w = (1.0 - distances).reshape(b * n, -1)
+    h = geometry.find_homography_dlt(p1, p2, w)
+    return h.reshape(b, n, 3, 3)

@@ -205,7 +205,12 @@ class FeatureExtractor(nn.Module):
 class ContentAwareBackbone(nn.Module):
     """'ContentAware' — Zhang et al. CA-UDHN
     (ref: src/backbones/ContentAware.py:83-193): shared mask predictor +
-    feature extractor per patch, resnet34 regressor on masked features."""
+    feature extractor per patch, resnet34 regressor on masked features.
+
+    setup-style so :meth:`extract_features` shares the feature-extractor
+    params with __call__ (TripletHead re-runs it on warped patches,
+    ref: src/heads/TripletHead.py:60,70).
+    """
     patch_keys: Tuple[str, str] = ('patch_1', 'patch_2')
     mask_keys: Tuple[str, str] = ('mask_1', 'mask_2')
     feature_keys: Tuple[str, str] = ('feature_1', 'feature_2')
@@ -215,23 +220,23 @@ class ContentAwareBackbone(nn.Module):
     mask_normalization_strength: float = -1.0
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, data: Dict[str, Array],
-                 train: bool = False) -> Dict[str, Array]:
-        mask_predictor = MaskPredictor(
+    def setup(self):
+        self.mask_predictor = MaskPredictor(
             fix_mask=self.fix_mask,
             normalization_strength=self.mask_normalization_strength,
             dtype=self.dtype, name='mask_predictor')
-        feature_extractor = FeatureExtractor(dtype=self.dtype,
-                                             name='feature_extractor')
-        regressor = ResNet(arch='resnet34', num_classes=8, dtype=self.dtype,
-                           name='resnet34')
+        self.feature_extractor = FeatureExtractor(dtype=self.dtype,
+                                                  name='feature_extractor')
+        self.resnet34 = ResNet(arch='resnet34', num_classes=8,
+                               dtype=self.dtype, name='resnet34')
 
+    def __call__(self, data: Dict[str, Array],
+                 train: bool = False) -> Dict[str, Array]:
         p1 = data[self.patch_keys[0]]
         p2 = data[self.patch_keys[1]]
         stacked = jnp.concatenate([p1, p2], axis=0)            # [2B,...]
-        m = mask_predictor(stacked, train=train)
-        f = feature_extractor(stacked, train=train)
+        m = self.mask_predictor(stacked, train=train)
+        f = self.feature_extractor(stacked, train=train)
         g = m * f
         b = p1.shape[0]
         g1, g2 = g[:b], g[b:]
@@ -243,21 +248,18 @@ class ContentAwareBackbone(nn.Module):
         g12 = jnp.concatenate([g1, g2], axis=-1)
         if self.variant == 'doubleline':
             g21 = jnp.concatenate([g2, g1], axis=-1)
-            o = regressor(jnp.concatenate([g12, g21], axis=0),
-                          train=train).reshape(-1, 4, 2)
+            o = self.resnet34(jnp.concatenate([g12, g21], axis=0),
+                              train=train).reshape(-1, 4, 2)
             out[self.target_keys[0]] = o[:b]
             out[self.target_keys[1]] = o[b:]
         else:
-            out[self.target_keys[0]] = regressor(
+            out[self.target_keys[0]] = self.resnet34(
                 g12, train=train).reshape(-1, 4, 2)
         return out
 
-    def extract_features(self, data_or_array, train: bool = False):
-        """Expose the feature extractor for TripletHead's warped-patch
-        features (ref: src/heads/TripletHead.py:60,70)."""
-        return FeatureExtractor(dtype=self.dtype,
-                                name='feature_extractor')(data_or_array,
-                                                          train=train)
+    def extract_features(self, x: Array, train: bool = False) -> Array:
+        """Feature extractor on warped patches (TripletHead path)."""
+        return self.feature_extractor(x, train=train)
 
 
 class HomographyNetBackbone(nn.Module):

@@ -1,0 +1,8 @@
+"""Parallelism: mesh construction and batch/replicated shardings."""
+
+from bihome_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)

@@ -1,0 +1,142 @@
+"""Training loop: jit-fused datagen + forward + loss + update, DP over mesh.
+
+The reference hot loop (ref: train.py:284-429) becomes ONE compiled XLA
+program per step: synthetic-pair generation (device), model forward, loss,
+backward, Adam update, per-step LR schedule. The host only streams uint8
+source images and logs scalars. Data parallelism: images batch-sharded over
+the mesh 'data' axis, state replicated — XLA inserts the gradient
+all-reduce over ICI (SURVEY §5.8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from bihome_tpu import geometry
+from bihome_tpu.config import BuiltModel
+from bihome_tpu.data import pipeline
+from bihome_tpu.parallel import mesh as mesh_lib
+from bihome_tpu.training import losses
+from bihome_tpu.training.train_state import TrainState
+
+
+def init_model(built: BuiltModel, sample_images: np.ndarray,
+               seed: int = 0) -> Dict[str, Any]:
+    """Initialize variables by tracing datagen + model on sample images.
+
+    Wrapped in one jax.jit: eager init would compile every conv separately
+    (minutes each on a slow host); jitted it is a single cheap program.
+    """
+    def init_fn(images):
+        batch = pipeline.generate_pairs(images, jax.random.PRNGKey(seed),
+                                        built.pair_spec)
+        rngs = {'params': jax.random.PRNGKey(seed)}
+        if built.needs_dsac_rng:
+            rngs['dsac'] = jax.random.PRNGKey(seed + 1)
+        return built.model.init(rngs, batch)
+
+    return jax.jit(init_fn)(jnp.asarray(sample_images))
+
+
+def make_train_step(built: BuiltModel, tx,
+                    schedule) -> Callable:
+    """Build the fused train step: (state, images_u8, rng) ->
+    (state, metrics)."""
+    model = built.model
+    spec = built.pair_spec
+    loss_name = built.loss_name
+    needs_dsac = built.needs_dsac_rng
+
+    def train_step(state: TrainState, images: jax.Array,
+                   rng: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        step_rng = jax.random.fold_in(rng, state.step)
+        gen_key, dsac_key = jax.random.split(step_rng)
+        batch = pipeline.generate_pairs(images, gen_key, spec)
+
+        def loss_fn(params):
+            variables = {'params': params, 'batch_stats': state.batch_stats}
+            rngs = {'dsac': dsac_key} if needs_dsac else None
+            out, mutated = model.apply(variables, batch, train=True,
+                                       rngs=rngs, mutable=['batch_stats'])
+            loss = losses.compute_loss(loss_name, out)
+            return loss, (out, mutated)
+
+        (loss, (out, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state,
+            batch_stats=mutated.get('batch_stats', state.batch_stats))
+
+        metrics = {'loss/train': loss,
+                   'g_norm/value': optax.global_norm(grads),
+                   'lr/value': schedule(state.step)}
+        if out.get('delta_gt') is not None:
+            metrics['mace/train'] = geometry.mace(out['delta_gt'],
+                                                  out['delta_hat'])
+        metrics.update(out.get('metrics', {}))
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(built: BuiltModel, test: bool = True) -> Callable:
+    """(state, images_u8, rng) -> metrics (eval-mode loss + MACE),
+    the eval_one_epoch body (ref: train.py:432-489)."""
+    model = built.model
+    spec = built.test_pair_spec if test else built.pair_spec
+    loss_name = built.loss_name
+    needs_dsac = built.needs_dsac_rng
+
+    def eval_step(state: TrainState, images: jax.Array,
+                  rng: jax.Array) -> Dict[str, jax.Array]:
+        gen_key, dsac_key = jax.random.split(rng)
+        batch = pipeline.generate_pairs(images, gen_key, spec)
+        variables = {'params': state.params,
+                     'batch_stats': state.batch_stats}
+        rngs = {'dsac': dsac_key} if needs_dsac else None
+        out = model.apply(variables, batch, train=False, rngs=rngs)
+        metrics = {'loss/test': losses.compute_loss(loss_name, out)}
+        if out.get('delta_gt') is not None:
+            metrics['mace/test'] = geometry.mace(out['delta_gt'],
+                                                 out['delta_hat'])
+        return metrics
+
+    return eval_step
+
+
+def make_predict_step(built: BuiltModel) -> Callable:
+    """(state, batch) -> (delta_hat, homography|None) — the
+    ModelWrapper.predict_homography chain (ref: eval.py:21-28)."""
+    model = built.model
+    needs_rng = (built.needs_dsac_rng
+                 or (built.head_cfg.name == 'NoOpHead'
+                     and built.head_cfg.target_gen == 'all_points'))
+
+    def predict_step(state: TrainState, batch: Dict[str, jax.Array],
+                     rng: jax.Array):
+        variables = {'params': state.params,
+                     'batch_stats': state.batch_stats}
+        rngs = None
+        if needs_rng:
+            rngs = {'dsac': rng, 'ransac': rng}
+        return model.apply(variables, batch, method='predict', rngs=rngs)
+
+    return predict_step
+
+
+def compile_for_mesh(step_fn: Callable, mesh, donate_state: bool = True):
+    """jit a (state, images, rng) step for DP over the mesh: state
+    replicated, images batch-sharded; donation keeps params in-place."""
+    rep = mesh_lib.replicated_sharding(mesh)
+    shard = mesh_lib.batch_sharding(mesh)
+    return jax.jit(step_fn,
+                   in_shardings=(rep, shard, rep),
+                   donate_argnums=(0,) if donate_state else ())

@@ -1,0 +1,144 @@
+#!/usr/bin/env python3
+"""Eval CLI — MACE benchmark over the test split (ref: eval.py:516-528).
+
+    python3 eval.py --config_file X.yaml [--ckpt DIR_OR_STEP]
+                    [--batch_size N] [--vis] [--log mace.log]
+
+Prints parameter count, "Mean mace" and "Mean model time" exactly like the
+reference (ref: eval.py:334-341). Timing uses block_until_ready around the
+jitted predict step (the CUDA-events equivalent), first iteration dropped.
+"""
+
+import argparse
+import os
+import time
+
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
+
+import jax
+import numpy as np
+
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ['JAX_COMPILATION_CACHE_DIR'])
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+import jax.numpy as jnp
+
+from bihome_tpu import config as config_lib
+from bihome_tpu import geometry
+from bihome_tpu.data import datasets, pipeline
+from bihome_tpu.ops import color
+from bihome_tpu.training import checkpoint as ckpt_lib
+from bihome_tpu.training import trainer as trainer_lib
+from bihome_tpu.training import train_state as ts_lib
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(x.shape))
+               for x in jax.tree_util.tree_leaves(params))
+
+
+def save_visualization(out_dir, idx, batch, delta_gt, delta_hat):
+    """Warp-comparison dump (PNG triplet; the reference writes GIFs via
+    imageio + draws rects with cv2, ref: eval.py:145-332)."""
+    from PIL import Image
+    os.makedirs(out_dir, exist_ok=True)
+    patch_1 = batch['patch_1'][idx:idx + 1]
+    corners = geometry.image_corners(patch_1.shape[1], patch_1.shape[2],
+                                     batch_size=1)
+    h = geometry.four_point_to_homography(
+        corners, jnp.asarray(delta_hat[idx:idx + 1]))
+    warped = geometry.warp_image(patch_1, h)
+    for name, img in (('patch_1_warped_hat', warped[0]),
+                      ('patch_2', batch['patch_2'][idx]),
+                      ('patch_1', patch_1[0])):
+        arr = np.asarray(color.destandardize(jnp.asarray(img))).astype(
+            np.uint8)
+        Image.fromarray(np.tile(arr, (1, 1, 3))).save(
+            os.path.join(out_dir, f'{idx:05d}_{name}.png'))
+
+
+def main(args):
+    config = config_lib.load_config(args.config_file)
+    data_cfg = config['DATA']
+    sampler_cfg = data_cfg['SAMPLER']
+    np.random.seed(sampler_cfg.get('TEST_SEED', 42))   # ref: eval.py:360
+
+    batch_size = args.batch_size
+    test_samples = sampler_cfg['TEST_SAMPLES_PER_EPOCH']
+    if args.steps:
+        test_samples = min(test_samples, args.steps * batch_size)
+
+    built = config_lib.build_model(config)
+    tx, _ = ts_lib.make_optimizer(**config_lib.solver_kwargs(config))
+
+    ds = (datasets.SyntheticDataset(image_size=tuple(args.image_size), seed=1)
+          if args.synthetic else
+          datasets.make_dataset(data_cfg.get('TEST_SPLIT', ''),
+                                image_size=tuple(args.image_size),
+                                synthetic_seed=1,
+                                dataset_name=data_cfg.get('NAME', 'coco')))
+    loader = datasets.BatchLoader(ds, batch_size, test_samples,
+                                  random_seed=sampler_cfg.get('TEST_SEED'))
+
+    sample = np.stack([ds.load_image(0)] * batch_size)
+    variables = trainer_lib.init_model(built, sample)
+    state = ts_lib.create_train_state(variables, tx)
+    if args.ckpt:
+        checkpointer = ckpt_lib.CheckPointer(args.ckpt)
+        state, step = checkpointer.load(state)
+        print(f'Loaded checkpoint step {step} from {args.ckpt}')
+    else:
+        checkpointer = ckpt_lib.CheckPointer(config['LOGGING']['DIR'])
+        state, step = checkpointer.load(state)
+        if step:
+            print(f'Loaded latest checkpoint step {step}')
+
+    gen = jax.jit(pipeline.generate_pairs, static_argnums=2)
+    predict = jax.jit(trainer_lib.make_predict_step(built))
+
+    test_seed = sampler_cfg.get('TEST_SEED', 42)
+    model_time = []
+    batched_mace = []
+    for it, images in enumerate(loader.epoch()):
+        batch = gen(jnp.asarray(images),
+                    jax.random.fold_in(jax.random.PRNGKey(test_seed), it),
+                    built.test_pair_spec)
+        start = time.perf_counter()
+        delta_hat, _ = predict(state, batch,
+                               jax.random.fold_in(
+                                   jax.random.PRNGKey(test_seed + 1), it))
+        delta_hat = jax.block_until_ready(delta_hat)
+        model_time.append((time.perf_counter() - start) * 1000.0)
+
+        delta_gt = np.asarray(batch['delta'])
+        mace = float(np.mean(np.linalg.norm(
+            delta_gt.reshape(-1, 2) - np.asarray(delta_hat).reshape(-1, 2),
+            axis=-1)))
+        batched_mace.append(mace)
+        if args.log:
+            with open(args.log, 'a') as f:
+                f.write(f'{it},{mace}\n')
+        if args.vis:
+            save_visualization(os.path.join('vis_out'), it, batch,
+                               delta_gt, np.asarray(delta_hat))
+
+    print('Number of params: {}'.format(count_params(state.params)))
+    print('Mean mace: {}'.format(np.mean(batched_mace)))
+    print('Mean model time: {}'.format(np.mean(model_time[1:])
+                                       if len(model_time) > 1
+                                       else model_time[0]))
+
+
+if __name__ == '__main__':
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--config_file', type=str, required=True)
+    parser.add_argument('--ckpt', type=str, default='')
+    parser.add_argument('--batch_size', type=int, default=1)
+    parser.add_argument('--vis', action='store_true')
+    parser.add_argument('--log', type=str, default='')
+    parser.add_argument('--synthetic', action='store_true')
+    parser.add_argument('--steps', type=int, default=0)
+    parser.add_argument('--image_size', type=int, nargs=2,
+                        default=(320, 240))
+    main(parser.parse_args())

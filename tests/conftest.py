@@ -7,7 +7,10 @@ Must set env vars before jax initializes a backend.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu (not setdefault): the environment may export
+# JAX_PLATFORMS=axon (the real TPU tunnel), and concurrent test processes
+# contending for the single TPU deadlock each other.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +18,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# Belt and braces: the env var is only read at jax import, and pytest
+# plugin auto-loading may import jax before this conftest runs.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compile cache: CPU test-shape compiles are slow in this image.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")

@@ -1,0 +1,305 @@
+"""Head / loss tests over all four head families (SURVEY §4c).
+
+Small shapes (patch 32, resnet18 aux where possible is not allowed — config
+uses resnet34; we keep resnet34 but 32px patches) for 1-core CPU tolerance.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bihome_tpu import geometry
+from bihome_tpu.data import pipeline, synthetic
+from bihome_tpu.heads import AssembledModel, HeadConfig
+from bihome_tpu.heads import ransac as ransac_lib
+from bihome_tpu.models import backbones
+from bihome_tpu.training import losses
+
+PS = 32
+
+
+def make_batch(batch=2, seed=0, target_gen='4_points', emit_images=()):
+    imgs = jnp.array(synthetic.make_image_pool(batch, 60, 80, seed=seed),
+                     jnp.float32)
+    spec = pipeline.PairSpec(
+        rho=8, patch_size=PS, photometric_keys=(), max_delta=0.0,
+        target_gen=target_gen,
+        grayscale_keys=('patch_1', 'patch_2') + tuple(
+            k for k in emit_images if k == 'image_1'),
+        standardize_keys=('patch_1', 'patch_2') + tuple(
+            k for k in emit_images if k == 'image_1'),
+        emit_images=tuple(emit_images))
+    return pipeline.generate_pairs(imgs, jax.random.PRNGKey(seed), spec)
+
+
+class TestNoOpHead:
+    def test_supervised_mse_4points(self):
+        batch = make_batch()
+        backbone = backbones.ResNet34Backbone(variant='oneline')
+        head = HeadConfig(name='NoOpHead', target_gen='4_points',
+                          learning_keys=('delta', 'delta_hat_12', 'delta',
+                                         'delta_hat_12'), patch_size=PS)
+        model = AssembledModel(backbone=backbone, head=head)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        out = model.apply(variables, batch)
+        loss = losses.compute_loss('MSELoss', out)
+        assert np.isfinite(float(loss))
+        assert out['delta_hat'].shape == (2, 4, 2)
+        # delta_gt passthrough
+        np.testing.assert_array_equal(np.asarray(out['delta_gt']),
+                                      np.asarray(batch['delta']))
+
+    def test_all_points_corner_extraction_and_l1(self):
+        batch = make_batch(target_gen='all_points')
+        backbone = backbones.RethinkingBackbone(
+            variant='oneline', target_keys=('pf_hat_12',))
+        head = HeadConfig(name='NoOpHead', target_gen='all_points',
+                          learning_keys=('target', 'pf_hat_12', 'delta',
+                                         'pf_hat_12'), patch_size=PS)
+        model = AssembledModel(backbone=backbone, head=head)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        out = model.apply(variables, batch)
+        loss = losses.compute_loss('L1Loss', out)
+        assert np.isfinite(float(loss))
+        pf = np.asarray(model.apply(variables, batch)['network_output'])
+        dh = np.asarray(out['delta_hat'])
+        np.testing.assert_allclose(dh[:, 0], pf[:, 0, 0], atol=1e-6)
+        np.testing.assert_allclose(dh[:, 2], pf[:, PS - 1, PS - 1], atol=1e-6)
+
+    def test_predict_4points(self):
+        batch = make_batch()
+        backbone = backbones.ResNet34Backbone(variant='oneline')
+        head = HeadConfig(name='NoOpHead', target_gen='4_points',
+                          learning_keys=('delta', 'delta_hat_12', 'delta',
+                                         'delta_hat_12'), patch_size=PS)
+        model = AssembledModel(backbone=backbone, head=head)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        delta_hat, hom = model.apply(variables, batch, method='predict')
+        assert delta_hat.shape == (2, 4, 2)
+        assert hom.shape == (2, 3, 3)
+
+
+class TestRansacPostprocess:
+    def test_recovers_clean_field(self):
+        # A clean PF generated from a known homography must be recovered.
+        corners = geometry.image_corners(PS, PS, batch_size=2)
+        delta = jnp.array(np.random.RandomState(0).randint(-6, 6, (2, 4, 2)),
+                          jnp.float32)
+        h_true = geometry.four_point_to_homography(corners, delta)
+        ys, xs = jnp.meshgrid(jnp.arange(PS, dtype=jnp.float32),
+                              jnp.arange(PS, dtype=jnp.float32),
+                              indexing='ij')
+        pts = jnp.stack([xs.reshape(-1), ys.reshape(-1)], -1)
+        pts = jnp.broadcast_to(pts[None], (2, PS * PS, 2))
+        pf = (geometry.transform_points(h_true, pts) - pts).reshape(
+            2, PS, PS, 2)
+        delta_fit, _ = ransac_lib.perspective_field_to_delta(
+            pf, jax.random.PRNGKey(0), num_hypotheses=32)
+        np.testing.assert_allclose(np.asarray(delta_fit), np.asarray(delta),
+                                   atol=0.05)
+
+    def test_robust_to_outliers(self):
+        corners = geometry.image_corners(PS, PS, batch_size=1)
+        delta = jnp.array([[[3., -2], [1, 4], [-5, 2], [0, -3]]])
+        h_true = geometry.four_point_to_homography(corners, delta)
+        ys, xs = jnp.meshgrid(jnp.arange(PS, dtype=jnp.float32),
+                              jnp.arange(PS, dtype=jnp.float32),
+                              indexing='ij')
+        pts = jnp.stack([xs.reshape(-1), ys.reshape(-1)], -1)[None]
+        pf = (geometry.transform_points(h_true, pts) - pts)
+        pf = pf.at[0, :100].add(300.0)  # ~10% gross outliers
+        pf = pf.reshape(1, PS, PS, 2)
+        delta_fit, _ = ransac_lib.perspective_field_to_delta(
+            pf, jax.random.PRNGKey(1), num_hypotheses=64)
+        np.testing.assert_allclose(np.asarray(delta_fit), np.asarray(delta),
+                                   atol=0.5)
+
+
+class TestPhotometricHead:
+    def test_loss_and_gt_patch_recovery(self):
+        batch = make_batch(emit_images=('image_1',))
+        backbone = backbones.ResNet34Backbone(variant='oneline')
+        head = HeadConfig(name='PhotometricHead',
+                          learning_keys=('patch_2', 'image_1', 'delta',
+                                         'delta_hat_12'), patch_size=PS)
+        model = AssembledModel(backbone=backbone, head=head)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        out = model.apply(variables, batch)
+        assert out['network_output'].shape == out['ground_truth'].shape
+        loss = losses.compute_loss('L1Loss', out)
+        assert np.isfinite(float(loss))
+        # Oracle property: warping image_1 with the TRUE delta reproduces
+        # patch_2 (up to photometric noise; none here) — so the photometric
+        # loss evaluated at delta_hat == delta_gt must be near zero.
+        batch2 = dict(batch)
+        outputs = {'delta_hat_12': batch['delta']}
+        data = {**batch2, **outputs}
+        h = geometry.four_point_to_homography(data['corners'],
+                                              data['delta'])
+        # reuse model internals through apply with a patched backbone output:
+        # simplest: compute loss directly via the head formulas
+        ps = PS
+        corners0 = data['corners'][:, 0]
+        ys, xs = jnp.meshgrid(jnp.arange(ps, dtype=jnp.float32),
+                              jnp.arange(ps, dtype=jnp.float32),
+                              indexing='ij')
+
+        def one(img, h_mat, c0):
+            xa = xs.reshape(-1) + c0[0]
+            ya = ys.reshape(-1) + c0[1]
+            pts = jnp.stack([xa, ya, jnp.ones_like(xa)], 0)
+            m = h_mat @ pts
+            return geometry.bilinear_sample(
+                img, m[0] / m[2], m[1] / m[2]).reshape(ps, ps, -1)
+
+        patch_hat = jax.vmap(one)(data['image_1'], h, corners0)
+        err = np.abs(np.asarray(patch_hat) - np.asarray(data['patch_2']))
+        # interior only (border pixels sample zero-padded territory)
+        assert np.median(err[:, 4:-4, 4:-4]) < 0.05
+
+
+class TestTripletHead:
+    def test_zhang_loss_runs_and_grads(self):
+        batch = make_batch()
+        backbone = backbones.ContentAwareBackbone(
+            variant='doubleline', fix_mask=True,
+            target_keys=('delta_hat_12', 'delta_hat_21'))
+        head = HeadConfig(name='TripletHead', variant='doubleline',
+                          patch_keys=('patch_1', 'patch_2'),
+                          mask_keys=('mask_1', 'mask_2'),
+                          feature_keys=('feature_1', 'feature_2'),
+                          target_keys=('delta_hat_12', 'delta_hat_21'),
+                          triplet_margin=1.0,
+                          triplet_aggregation='channel-agnostic',
+                          ld=2, mu=0.01, patch_size=PS)
+        model = AssembledModel(backbone=backbone, head=head)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        out = model.apply(variables, batch)
+        assert np.isfinite(float(out['loss']))
+        assert 'loss_comp/ln3' in out['metrics']
+
+        def loss_fn(params):
+            o = model.apply({**variables, 'params': params}, batch)
+            return o['loss']
+
+        g = jax.grad(loss_fn)(variables['params'])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
+        assert total > 0.0
+
+
+class TestPerceptualHead:
+    def _bihome_config(self, **kw):
+        base = dict(name='PerceptualHead', patch_size=PS,
+                    patch_keys=('patch_1', 'patch_2'),
+                    delta_hat_keys=('delta_hat_12', 'delta_hat_21'),
+                    pf_keys=(), auxiliary_resnet='resnet34',
+                    auxiliary_resnet_output_layer=1,
+                    triplet_loss='double-line',
+                    triplet_aggregation='channel-agnostic',
+                    triplet_margin='inf', triplet_distance='l1',
+                    triplet_mu=0.01, mask_keys=(),
+                    sampling_strategy='downsample-mask')
+        base.update(kw)
+        return HeadConfig(**base)
+
+    def test_bihome_delta_mode_loss_and_freeze_semantics(self):
+        batch = make_batch()
+        backbone = backbones.ResNet34Backbone(
+            variant='doubleline',
+            target_keys=('delta_hat_12', 'delta_hat_21'))
+        model = AssembledModel(backbone=backbone, head=self._bihome_config())
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        assert 'auxiliary_resnet' in variables['params']
+        out = model.apply(variables, batch)
+        assert np.isfinite(float(out['loss']))
+        for key in ('loss_comp/ln1', 'loss_comp/ln2', 'loss_comp/ln3',
+                    'h/h1', 'h/h2'):
+            assert key in out['metrics']
+        # Loss at perfect prediction: when delta_hat == delta_gt and the two
+        # directions are inverse, ln3 term -> small; full zero not expected
+        # (features differ at borders), but loss must be finite and the
+        # biHomE loss must penalize worse predictions more:
+        loss_good = float(out['loss'])
+
+        # gradients flow to backbone but loss is differentiable wrt aux too;
+        # freezing is enforced by the optimizer mask (tested in trainer).
+        def loss_fn(params):
+            return model.apply({**variables, 'params': params}, batch)['loss']
+
+        g = jax.grad(loss_fn)(variables['params'])
+        g_backbone = jax.tree_util.tree_leaves(g['backbone'])
+        assert any(float(jnp.max(jnp.abs(l))) > 0 for l in g_backbone)
+        assert np.isfinite(loss_good)
+
+    def test_bihome_dsac_mode(self):
+        batch = make_batch(target_gen='all_points')
+        backbone = backbones.RethinkingBackbone(
+            variant='doubleline', target_keys=('pf_hat_12', 'pf_hat_21'))
+        head = self._bihome_config(delta_hat_keys=(),
+                                   pf_keys=('pf_hat_12', 'pf_hat_21'),
+                                   hypothesis_no=1,
+                                   points_per_hypothesis=64)
+        model = AssembledModel(backbone=backbone, head=head)
+        variables = model.init(
+            {'params': jax.random.PRNGKey(0), 'dsac': jax.random.PRNGKey(1)},
+            batch)
+        out = model.apply(variables, batch,
+                          rngs={'dsac': jax.random.PRNGKey(2)})
+        assert np.isfinite(float(out['loss']))
+        assert out['delta_hat'].shape == (2, 4, 2)
+        delta_hat, _ = model.apply(variables, batch, method='predict',
+                                   rngs={'dsac': jax.random.PRNGKey(3)})
+        assert delta_hat.shape == (2, 4, 2)
+
+    def test_multihead_mse_mode(self):
+        batch = make_batch()
+        backbone = backbones.ResNet34Backbone(variant='oneline')
+        head = self._bihome_config(triplet_loss='',
+                                   delta_hat_keys=('delta_hat_12',))
+        model = AssembledModel(backbone=backbone, head=head)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        out = model.apply(variables, batch)
+        assert out['ground_truth'].shape == out['network_output'].shape
+        loss = losses.compute_loss('MSELoss', out)
+        assert np.isfinite(float(loss))
+        loss_cos = losses.compute_loss('CosineDistance', out)
+        assert np.isfinite(float(loss_cos))
+
+    def test_bihome_prefers_true_delta(self):
+        # Core sanity of the biHomE objective: with a frozen random
+        # extractor, the loss at the true delta must be lower than at a
+        # far-off delta (feature alignment vs misalignment).
+        batch = make_batch(seed=4)
+        backbone = backbones.ResNet34Backbone(
+            variant='doubleline',
+            target_keys=('delta_hat_12', 'delta_hat_21'))
+        model = AssembledModel(backbone=backbone, head=self._bihome_config())
+        variables = model.init(jax.random.PRNGKey(0), batch)
+
+        corners_local = geometry.image_corners(PS, PS, batch_size=2)
+        h_true = geometry.four_point_to_homography(corners_local,
+                                                   batch['delta'])
+        delta_21_true = (geometry.transform_points(
+            jnp.linalg.inv(h_true), corners_local) - corners_local)
+
+        def loss_with(delta12, delta21):
+            # monkeypatch backbone outputs by injecting into the batch is not
+            # possible; instead apply only the head math via the public
+            # module: create a fixed-output backbone.
+            class Fixed(backbones.ResNet34Backbone):
+                def __call__(self, data, train=False):
+                    return {'delta_hat_12': delta12,
+                            'delta_hat_21': delta21}
+            m = AssembledModel(backbone=Fixed(), head=self._bihome_config())
+            v = m.init(jax.random.PRNGKey(0), batch)
+            v = {**v, 'params': {**v['params'],
+                                 'auxiliary_resnet':
+                                     variables['params']['auxiliary_resnet']}}
+            return float(m.apply(v, batch)['loss'])
+
+        good = loss_with(batch['delta'], delta_21_true)
+        bad = loss_with(batch['delta'] + 10.0, delta_21_true - 10.0)
+        assert good < bad, (good, bad)

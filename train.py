@@ -1,0 +1,200 @@
+#!/usr/bin/env python3
+"""Train CLI — reads the UNCHANGED reference YAML configs.
+
+Usage (ref: train.py:760-768):
+    python3 train.py --config_file config/pds-coco/zeng-bihome-lr-1e-3.yaml
+
+Framework extensions for smoke/bench runs (ignored by reference configs):
+    --synthetic          force the synthetic image pool even if data exists
+    --steps N            cap steps per epoch
+    --epochs N           override SOLVER.NUM_EPOCHS
+    --batch_size N       override DATA.SAMPLER.BATCH_SIZE
+    --image_size W H     source image size (default 320 240)
+"""
+
+import argparse
+import os
+import time
+
+# Enable the persistent compile cache before jax initializes.
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
+
+import jax
+import numpy as np
+
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ['JAX_COMPILATION_CACHE_DIR'])
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+from bihome_tpu import config as config_lib
+from bihome_tpu.data import datasets
+from bihome_tpu.parallel import mesh as mesh_lib
+from bihome_tpu.training import checkpoint as ckpt_lib
+from bihome_tpu.training import metrics as metrics_lib
+from bihome_tpu.training import trainer as trainer_lib
+from bihome_tpu.training import train_state as ts_lib
+
+
+def main(args):
+    config = config_lib.load_config(args.config_file)
+    data_cfg = config['DATA']
+    sampler_cfg = data_cfg['SAMPLER']
+    solver_cfg = config['SOLVER']
+    log_cfg = config['LOGGING']
+
+    batch_size = args.batch_size or sampler_cfg['BATCH_SIZE']
+    epochs = args.epochs or solver_cfg['NUM_EPOCHS']
+    steps_per_epoch = sampler_cfg['TRAIN_SAMPLES_PER_EPOCH'] // batch_size
+    if args.steps:
+        steps_per_epoch = min(steps_per_epoch, args.steps)
+    test_steps = sampler_cfg['TEST_SAMPLES_PER_EPOCH'] // batch_size
+    if args.steps:
+        test_steps = min(test_steps, args.steps)
+    image_size = tuple(args.image_size)
+
+    # ---------------- data ----------------
+    def make_ds(split_key, seed):
+        path = data_cfg.get(split_key, '')
+        if args.synthetic:
+            return datasets.SyntheticDataset(image_size=image_size,
+                                             seed=seed)
+        return datasets.make_dataset(path, image_size=image_size,
+                                     synthetic_seed=seed,
+                                     dataset_name=data_cfg.get('NAME',
+                                                               'coco'))
+
+    train_ds = make_ds('TRAIN_SPLIT', 0)
+    test_ds = make_ds('TEST_SPLIT', 1) if 'TEST_SPLIT' in data_cfg else None
+    train_loader = datasets.BatchLoader(
+        train_ds, batch_size, steps_per_epoch * batch_size,
+        random_seed=sampler_cfg.get('TRAIN_SEED'))
+    test_loader = (datasets.BatchLoader(
+        test_ds, batch_size, test_steps * batch_size,
+        random_seed=sampler_cfg.get('TEST_SEED'))
+        if test_ds is not None and test_steps > 0 else None)
+
+    # ---------------- model/optimizer ----------------
+    built = config_lib.build_model(config)
+    tx, schedule = ts_lib.make_optimizer(
+        frozen_prefixes=(('auxiliary_resnet',)
+                         if built.head_cfg.auxiliary_resnet_freeze else ()),
+        **config_lib.solver_kwargs(config))
+
+    sample = np.stack([train_ds.load_image(0)] * batch_size)
+    variables = trainer_lib.init_model(built, sample)
+    variables = maybe_load_pretrained_resnets(built, variables, config)
+    state = ts_lib.create_train_state(variables, tx)
+
+    # ---------------- checkpoint / resume ----------------
+    log_dir = log_cfg['DIR']
+    checkpointer = ckpt_lib.CheckPointer(log_dir)
+    restart_lr = bool(solver_cfg.get('RESTART_LEARNING_RATE', False))
+    state, start_step = checkpointer.load(state,
+                                          restart_learning_rate=restart_lr)
+    if 'PRETRAINED' in config.get('MODEL', {}) and start_step == 0:
+        state = ckpt_lib.load_pretrained_params(config['MODEL']['PRETRAINED'],
+                                                state)
+        print('Pretrained model loaded!')
+    start_epoch = start_step // steps_per_epoch
+
+    # ---------------- mesh / compile ----------------
+    mesh = mesh_lib.make_mesh()
+    print(f'Mesh: {mesh.shape} over {len(jax.devices())} device(s)')
+    train_step = trainer_lib.compile_for_mesh(
+        trainer_lib.make_train_step(built, tx, schedule), mesh)
+    eval_step = trainer_lib.compile_for_mesh(
+        trainer_lib.make_eval_step(built), mesh, donate_state=False)
+
+    rep = mesh_lib.replicated_sharding(mesh)
+    state = jax.device_put(state, rep)
+    train_rng = jax.device_put(
+        jax.random.PRNGKey(sampler_cfg.get('TRAIN_SEED', 0) or 0), rep)
+    eval_rng_base = jax.random.PRNGKey(sampler_cfg.get('TEST_SEED', 0) or 0)
+
+    writer = metrics_lib.MetricsWriter(log_dir)
+    meter = metrics_lib.ThroughputMeter(num_chips=len(jax.devices()))
+    log_step = int(log_cfg.get('STEP', 100))
+    verbose = bool(log_cfg.get('VERBOSE', False))
+
+    # ---------------- loop ----------------
+    step = start_step
+    for epoch in range(start_epoch, epochs):
+        print(f'Training epoch: {epoch}')
+        t_epoch = time.time()
+        for images in train_loader.epoch():
+            images_dev = mesh_lib.shard_batch(mesh, images)
+            state, metrics = train_step(state, images_dev, train_rng)
+            step += 1
+            meter.step(batch_size)
+            if step % log_step == 0:
+                host = {k: float(v) for k, v in metrics.items()}
+                host['throughput/pairs_per_sec_per_chip'] = \
+                    meter.pairs_per_sec_per_chip()
+                writer.scalars(step, host)
+                if verbose:
+                    print(f'Epoch: {epoch} step: {step} '
+                          f'loss: {host["loss/train"]:.5f}')
+        checkpointer.save(step, jax.device_get(state))
+        print(f'Epoch {epoch} done in {time.time() - t_epoch:.1f}s, '
+              f'{meter.pairs_per_sec_per_chip():.1f} pairs/s/chip')
+
+        if test_loader is not None:
+            print(f'Testing epoch: {epoch}')
+            accum = {}
+            for i, images in enumerate(test_loader.epoch()):
+                images_dev = mesh_lib.shard_batch(mesh, images)
+                m = eval_step(state, images_dev,
+                              jax.random.fold_in(eval_rng_base, i))
+                for k, v in m.items():
+                    accum.setdefault(k, []).append(float(v))
+            writer.scalars((epoch + 1) * steps_per_epoch,
+                           {k: float(np.mean(v)) for k, v in accum.items()})
+    writer.close()
+    print('DONE!')
+
+
+def maybe_load_pretrained_resnets(built, variables, config):
+    """PRETRAINED_RESNET handling: the reference downloads torchvision
+    ImageNet weights (ref: ResNet34.py:15, Rethinking.py:176-183,
+    PerceptualHead.py:21-22). No network here — weights load from a local
+    .pth named by MODEL.BACKBONE.PRETRAINED_RESNET_PATH /
+    MODEL.HEAD.AUXILIARY_RESNET_PATH when present; otherwise the (documented)
+    fallback is the kaiming init."""
+    from bihome_tpu.models import torch_port
+    backbone_cfg = config['MODEL']['BACKBONE']
+    head_cfg = config['MODEL'].get('HEAD', {})
+    path = backbone_cfg.get('PRETRAINED_RESNET_PATH')
+    if backbone_cfg.get('PRETRAINED_RESNET') and path and os.path.exists(path):
+        state = torch_port.load_torch_state_dict(path)
+        if backbone_cfg['NAME'] == 'Rethinking':
+            ported = torch_port.port_rethinking_encoder(state)
+            variables = torch_port.graft(variables, ported, ('backbone',))
+        elif backbone_cfg['NAME'] in ('ResNet34', 'ContentAware'):
+            ported = torch_port.port_torchvision_resnet(
+                state, num_input_channels=2, include_fc=False)
+            variables = torch_port.graft(variables, ported,
+                                         ('backbone', 'resnet34'))
+        print(f'Backbone ImageNet weights loaded from {path}')
+    aux_path = head_cfg.get('AUXILIARY_RESNET_PATH')
+    if aux_path and os.path.exists(aux_path):
+        state = torch_port.load_torch_state_dict(aux_path)
+        ported = torch_port.port_torchvision_resnet(state, include_fc=False)
+        variables = torch_port.graft(variables, ported,
+                                     ('auxiliary_resnet',))
+        print(f'Auxiliary resnet weights loaded from {aux_path}')
+    return variables
+
+
+if __name__ == '__main__':
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--config_file', type=str, required=True,
+                        help='Config file with learning settings')
+    parser.add_argument('--synthetic', action='store_true',
+                        help='use the synthetic image pool')
+    parser.add_argument('--steps', type=int, default=0,
+                        help='cap steps per epoch (smoke runs)')
+    parser.add_argument('--epochs', type=int, default=0)
+    parser.add_argument('--batch_size', type=int, default=0)
+    parser.add_argument('--image_size', type=int, nargs=2,
+                        default=(320, 240))
+    main(parser.parse_args())
