@@ -46,7 +46,12 @@ def main():
         'BENCH_CONFIG', 'config/pds-coco/zeng-bihome-lr-1e-3.yaml')
 
     config = config_lib.load_config(config_path)
-    built = config_lib.build_model(config)
+    # Throughput runs use bf16 compute by default (params stay f32);
+    # BENCH_DTYPE=float32 for full-precision benching.
+    import jax.numpy as _jnp
+    dtype = {'bfloat16': _jnp.bfloat16, 'float32': _jnp.float32}[
+        os.environ.get('BENCH_DTYPE', 'bfloat16')]
+    built = config_lib.build_model(config, dtype=dtype)
     tx, schedule = ts_lib.make_optimizer(**config_lib.solver_kwargs(config))
 
     num_chips = len(jax.devices())
@@ -64,32 +69,39 @@ def main():
     state = ts_lib.create_train_state(variables, tx)
     state = jax.device_put(state, mesh_lib.replicated_sharding(mesh))
 
+    # K steps per dispatch: amortizes host enqueue of the state pytree
+    # (the single-step path is host-bound on slow hosts).
+    unroll = int(os.environ.get('BENCH_UNROLL', '10'))
     raw_step = trainer_lib.make_train_step(built, tx, schedule)
 
-    def bench_step(state, pool, rng):
-        idx = jax.random.randint(jax.random.fold_in(rng, state.step),
-                                 (batch,), 0, pool.shape[0])
-        images = jnp.take(pool, idx, axis=0)
-        return raw_step(state, images, rng)
+    def bench_block(state, pool, rng):
+        def body(st, k):
+            idx = jax.random.randint(jax.random.fold_in(rng, st.step),
+                                     (batch,), 0, pool.shape[0])
+            images = jnp.take(pool, idx, axis=0)
+            return raw_step(st, images, rng)[0], ()
 
-    step_fn = jax.jit(bench_step, donate_argnums=(0,))
+        state, _ = jax.lax.scan(body, state, jnp.arange(unroll))
+        return state
+
+    step_fn = jax.jit(bench_block, donate_argnums=(0,))
     rng = jax.device_put(jax.random.PRNGKey(0),
                          mesh_lib.replicated_sharding(mesh))
 
     # Warmup (compile + first steps).
-    for _ in range(3):
-        state, metrics = step_fn(state, pool, rng)
+    state = step_fn(state, pool, rng)
     jax.block_until_ready(state.params)
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        state, metrics = step_fn(state, pool, rng)
+        state = step_fn(state, pool, rng)
     jax.block_until_ready(state.params)
     elapsed = time.perf_counter() - t0
 
-    pairs_per_sec_per_chip = batch * steps / elapsed / num_chips
+    pairs_per_sec_per_chip = batch * steps * unroll / elapsed / num_chips
+    run_name = os.path.basename(config_path).rsplit('.', 1)[0]
     print(json.dumps({
-        'metric': 'zeng_bihome_train_throughput',
+        'metric': f'{run_name}_train_throughput',
         'value': round(pairs_per_sec_per_chip, 2),
         'unit': 'pairs/s/chip',
         'vs_baseline': round(

@@ -52,7 +52,12 @@ class BuiltModel:
                 and not self.head_cfg.delta_hat_keys)
 
 
-def build_model(config: Dict[str, Any], dtype=jnp.float32) -> BuiltModel:
+def build_model(config: Dict[str, Any], dtype=None) -> BuiltModel:
+    """Assemble the model. Compute dtype: explicit arg > MODEL.DTYPE config
+    key ('bfloat16'|'float32') > float32. Params always stay float32."""
+    if dtype is None:
+        dtype = {'bfloat16': jnp.bfloat16, 'float32': jnp.float32}[
+            config['MODEL'].get('DTYPE', 'float32')]
     backbone = build_backbone(config['MODEL']['BACKBONE'], dtype=dtype)
     head_cfg = HeadConfig.from_yaml(config['MODEL']['HEAD'],
                                     config['MODEL']['BACKBONE'])

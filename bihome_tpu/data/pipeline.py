@@ -135,26 +135,36 @@ def _extract_patch(image: Array, x0: Array, y0: Array,
         image, (y0, x0, 0), (patch_size, patch_size, image.shape[-1]))
 
 
-def _warp_patch(image: Array, homography: Array, corners0: Array,
-                patch_size: int) -> Array:
-    """Sample the warped second patch directly.
+def _warp_patches(images: Array, homography: Array, corners0: Array,
+                  patch_size: int, rho: int) -> Array:
+    """Sample the warped second patches directly (batched).
 
-    Equivalent to warp_image(image, H)[y0:y0+ps, x0:x0+ps]
-    (ref: src/data/transforms.py:573-576) but gathers only the patch pixels:
+    Equivalent to warp_image(image, H)[y0:y0+ps, x0:x0+ps] per sample
+    (ref: src/data/transforms.py:573-576) but samples only the patch pixels:
     patch(i, j) = image(H · (x0+j, y0+i)).
+
+    TPU optimization: every source coordinate lies inside the quadrilateral
+    with vertices corners+delta (homographies map the convex patch square
+    into it), which is contained in the patch grown by rho — so only a
+    static (ps+2·rho)² window of each image participates. We slice those
+    windows and run ONE batched fused-warp over them.
     """
     ps = patch_size
-    ys, xs = jnp.meshgrid(jnp.arange(ps, dtype=jnp.float32),
-                          jnp.arange(ps, dtype=jnp.float32), indexing='ij')
-    xa = xs.reshape(-1) + corners0[0]
-    ya = ys.reshape(-1) + corners0[1]
-    pts = jnp.stack([xa, ya, jnp.ones_like(xa)], axis=0)       # [3, ps*ps]
-    mapped = homography @ pts
-    denom = jnp.where(jnp.abs(mapped[2]) < 1e-12, 1e-12, mapped[2])
-    u = mapped[0] / denom
-    v = mapped[1] / denom
-    out = geometry.bilinear_sample(image, u, v)
-    return out.reshape(ps, ps, image.shape[-1])
+    b, h, w, c = images.shape
+    ws_x = min(ps + 2 * rho, w)
+    ws_y = min(ps + 2 * rho, h)
+    ox = jnp.clip(corners0[:, 0].astype(jnp.int32) - rho, 0, w - ws_x)
+    oy = jnp.clip(corners0[:, 1].astype(jnp.int32) - rho, 0, h - ws_y)
+    windows = jax.vmap(
+        lambda img, oyi, oxi: jax.lax.dynamic_slice(
+            img, (oyi, oxi, 0), (ws_y, ws_x, c)))(images, oy, ox)
+
+    u, v = geometry.homography_grid(homography, (ps, ps),
+                                    offset=corners0.astype(jnp.float32))
+    u = u - ox.astype(jnp.float32)[:, None]
+    v = v - oy.astype(jnp.float32)[:, None]
+    out = geometry.batched_sample(windows, u, v)
+    return out.reshape(b, ps, ps, c)
 
 
 def _perspective_field(homography: Array, corners0: Array,
@@ -193,12 +203,22 @@ def generate_pairs_deterministic(
     x0 = corners[:, 0, 0].astype(jnp.int32)
     y0 = corners[:, 0, 1].astype(jnp.int32)
 
+    # Grayscale commutes with cropping and with bilinear warping (both are
+    # linear in pixel values), so convert BEFORE the warp when the patch is
+    # grayscaled anyway — 3x fewer sampled channels on the hot path.
+    patch_1_gray = 'patch_1' in spec.grayscale_keys
+    patch_2_gray = 'patch_2' in spec.grayscale_keys
+    patch_1_src = (color.rgb_to_grayscale(image_1) if patch_1_gray
+                   else image_1)
+    patch_2_src = (color.rgb_to_grayscale(image_2) if patch_2_gray
+                   else image_2)
+
     patch_1 = jax.vmap(_extract_patch, in_axes=(0, 0, 0, None))(
-        image_1, x0, y0, ps)
+        patch_1_src, x0, y0, ps)
 
     homography = geometry.four_point_to_homography(corners, delta)
-    patch_2 = jax.vmap(_warp_patch, in_axes=(0, 0, 0, None))(
-        image_2, homography, corners[:, 0].astype(jnp.float32), ps)
+    patch_2 = _warp_patches(patch_2_src, homography,
+                            corners[:, 0].astype(jnp.float32), ps, spec.rho)
 
     batch: Dict[str, Array] = {
         'patch_1': patch_1,
@@ -224,9 +244,10 @@ def generate_pairs_deterministic(
         batch['image_2'] = geometry.warp_image(image_2, homography)
 
     # Grayscale then standardize, mirroring the transform order
-    # (ref: config TRANSFORMS lists).
+    # (ref: config TRANSFORMS lists). patch_1/patch_2 were pre-grayscaled
+    # above (linearity), so only remaining keys convert here.
     for key in spec.grayscale_keys:
-        if key in batch:
+        if key in batch and batch[key].shape[-1] != 1:
             batch[key] = color.rgb_to_grayscale(batch[key])
     for key in spec.standardize_keys:
         if key in batch:

