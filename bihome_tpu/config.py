@@ -63,12 +63,22 @@ def build_model(config: Dict[str, Any], dtype=None) -> BuiltModel:
                                     config['MODEL']['BACKBONE'])
     model = AssembledModel(backbone=backbone, head=head_cfg, dtype=dtype)
     emit = _emit_images_for(head_cfg)
-    pair_spec = PairSpec.from_transforms(config['DATA']['TRANSFORMS'],
-                                         emit_images=emit)
+    # Blob occlusion augmentation applies to both loaders when configured
+    # (ref: train.py:574-620 passes the collator to train AND test).
+    blob_kw = {}
+    if config['DATA'].get('AUGMENT_BLOB_POROSITY') is not None:
+        blob_kw['blob_porosity'] = float(
+            config['DATA']['AUGMENT_BLOB_POROSITY'])
+        blob_kw['blobiness'] = float(
+            config['DATA'].get('AUGMENT_BLOBINESS', 1.0))
+    pair_spec = dataclasses.replace(
+        PairSpec.from_transforms(config['DATA']['TRANSFORMS'],
+                                 emit_images=emit), **blob_kw)
     test_transforms = config['DATA'].get('TEST_TRANSFORM',
                                          config['DATA']['TRANSFORMS'])
-    test_pair_spec = PairSpec.from_transforms(test_transforms,
-                                              emit_images=emit)
+    test_pair_spec = dataclasses.replace(
+        PairSpec.from_transforms(test_transforms, emit_images=emit),
+        **blob_kw)
     loss_name = config['SOLVER']['LOSS']
     return BuiltModel(model=model, head_cfg=head_cfg, pair_spec=pair_spec,
                       test_pair_spec=test_pair_spec, loss_name=loss_name,

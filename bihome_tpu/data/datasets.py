@@ -97,21 +97,6 @@ class ImageFolderDataset:
             np.save(out, self.load_image(idx), allow_pickle=True)
 
 
-class PairFolderDataset(ImageFolderDataset):
-    """CLEVR-Change style: base ``images/`` plus semantic/nonsemantic change
-    renders; an index addresses (original, changed) pairs
-    (ref: src/data/clevr_change/dataset.py:12-152). Exposed for API parity;
-    the synthesis pipeline consumes the base image the same way."""
-
-    def __init__(self, dataset_root: str,
-                 image_size: Tuple[int, int] = (320, 240),
-                 subdirs: Sequence[str] = ('images', 'sc_images',
-                                           'nsc_images')):
-        base = os.path.join(dataset_root, subdirs[0])
-        super().__init__(base if os.path.isdir(base) else dataset_root,
-                         image_size)
-
-
 class SyntheticDataset:
     """Deterministic stand-in when no dataset directory exists."""
 
@@ -187,12 +172,20 @@ class BatchLoader:
 def make_dataset(split_path: str, image_size=(320, 240),
                  synthetic_fallback: bool = True, synthetic_seed: int = 0,
                  dataset_name: str = 'coco'):
-    """Dataset factory for the config DATA section. Missing directories fall
-    back to SyntheticDataset (this environment ships no datasets)."""
+    """Dataset factory for the config DATA section (dispatch by DATA.NAME,
+    replacing the reference's importlib lookup, ref: train.py:555-564).
+    Missing directories fall back to SyntheticDataset (this environment
+    ships no datasets)."""
     if os.path.isdir(split_path):
         try:
-            if dataset_name == 'clevr_change':
-                return PairFolderDataset(split_path, image_size)
+            if 'clevr_change' in dataset_name:
+                from bihome_tpu.data.clevr_change import ClevrChangeDataset
+                return ClevrChangeDataset(split_path, image_size)
+            if 'cifar' in dataset_name:
+                from bihome_tpu.data.cifar10 import Cifar10Dataset
+                return Cifar10Dataset(split_path,
+                                      train='test' not in split_path)
+            # 'coco' and 'flir_adas' are image folders (.jpg/.jpeg/.npy).
             return ImageFolderDataset(split_path, image_size)
         except FileNotFoundError:
             if not synthetic_fallback:

@@ -58,6 +58,10 @@ class PairSpec:
     # Which of the full-size images to materialize in the output batch.
     # ('patch_*', 'delta', 'corners', 'target' are always produced.)
     emit_images: Tuple[str, ...] = ()
+    # Blob occlusion augmentation (CollatorWithBlobs equivalent; enabled by
+    # DATA.AUGMENT_BLOB_POROSITY / AUGMENT_BLOBINESS, ref: train.py:574-577).
+    blob_porosity: float = 0.0
+    blobiness: float = 1.0
 
     @staticmethod
     def from_transforms(transforms: Sequence[Dict[str, List[Any]]],
@@ -283,6 +287,14 @@ def generate_pairs(images: Array, key: Array,
     # (ref: src/data/transforms.py:538).
     delta = jax.random.randint(k_delta, (b, 4, 2), -spec.rho, spec.rho)
 
-    return generate_pairs_deterministic(
+    batch = generate_pairs_deterministic(
         images, corners.astype(jnp.float32), delta.astype(jnp.float32),
         spec, image_1=image_1, image_2=image_2)
+
+    if spec.blob_porosity > 0 and b > 1:
+        from bihome_tpu.data import blobs
+        k_blob = jax.random.fold_in(key, 7)
+        batch = blobs.apply_blob_augmentation(
+            batch, k_blob, porosity=spec.blob_porosity,
+            blobiness=spec.blobiness)
+    return batch

@@ -38,24 +38,37 @@ def count_params(params) -> int:
                for x in jax.tree_util.tree_leaves(params))
 
 
-def save_visualization(out_dir, idx, batch, delta_gt, delta_hat):
-    """Warp-comparison dump (PNG triplet; the reference writes GIFs via
-    imageio + draws rects with cv2, ref: eval.py:145-332)."""
+def save_visualization(out_dir, it, batch, delta_gt, delta_hat):
+    """Reference-style eval dumps (ref: eval.py:145-332): the warped image_2
+    with gt (blue) and predicted (red) corner rectangles, plus a
+    patch_1-warped vs patch_2 comparison GIF."""
     from PIL import Image
+    from bihome_tpu.utils import visualization as vis
     os.makedirs(out_dir, exist_ok=True)
+    idx = 0  # first sample of the batch
     patch_1 = batch['patch_1'][idx:idx + 1]
-    corners = geometry.image_corners(patch_1.shape[1], patch_1.shape[2],
-                                     batch_size=1)
+    corners_local = geometry.image_corners(patch_1.shape[1],
+                                           patch_1.shape[2], batch_size=1)
     h = geometry.four_point_to_homography(
-        corners, jnp.asarray(delta_hat[idx:idx + 1]))
+        corners_local, jnp.asarray(delta_hat[idx:idx + 1]))
     warped = geometry.warp_image(patch_1, h)
-    for name, img in (('patch_1_warped_hat', warped[0]),
-                      ('patch_2', batch['patch_2'][idx]),
-                      ('patch_1', patch_1[0])):
-        arr = np.asarray(color.destandardize(jnp.asarray(img))).astype(
-            np.uint8)
-        Image.fromarray(np.tile(arr, (1, 1, 3))).save(
-            os.path.join(out_dir, f'{idx:05d}_{name}.png'))
+
+    def to_u8(img):
+        arr = np.asarray(color.destandardize(jnp.asarray(img)))
+        return np.tile(arr.astype(np.uint8), (1, 1, 3))
+
+    vis.save_gif(os.path.join(out_dir, f'{it:05d}_patch_1_2.gif'),
+                 [to_u8(warped[0]), to_u8(batch['patch_2'][idx])])
+    if 'image_2' in batch:
+        img2 = np.clip(np.asarray(batch['image_2'][idx]), 0,
+                       255).astype(np.uint8)
+        if img2.shape[-1] == 1:
+            img2 = np.tile(img2, (1, 1, 3))
+        corners = np.asarray(batch['corners'][idx])
+        img2 = vis.draw_rect(img2, corners - np.asarray(delta_gt[idx]), 'b')
+        img2 = vis.draw_rect(img2, corners - np.asarray(delta_hat[idx]), 'r')
+        Image.fromarray(img2).save(
+            os.path.join(out_dir, f'{it:05d}_image_vis.png'))
 
 
 def main(args):
@@ -70,6 +83,12 @@ def main(args):
         test_samples = min(test_samples, args.steps * batch_size)
 
     built = config_lib.build_model(config)
+    if args.vis:
+        import dataclasses
+        built.test_pair_spec = dataclasses.replace(
+            built.test_pair_spec,
+            emit_images=tuple(set(built.test_pair_spec.emit_images)
+                              | {'image_2'}))
     tx, _ = ts_lib.make_optimizer(**config_lib.solver_kwargs(config))
 
     ds = (datasets.SyntheticDataset(image_size=tuple(args.image_size), seed=1)

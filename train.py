@@ -37,6 +37,8 @@ from bihome_tpu.training import train_state as ts_lib
 
 def main(args):
     config = config_lib.load_config(args.config_file)
+    if args.lr:
+        config['SOLVER']['LR'] = args.lr
     data_cfg = config['DATA']
     sampler_cfg = data_cfg['SAMPLER']
     solver_cfg = config['SOLVER']
@@ -115,6 +117,7 @@ def main(args):
     meter = metrics_lib.ThroughputMeter(num_chips=len(jax.devices()))
     log_step = int(log_cfg.get('STEP', 100))
     verbose = bool(log_cfg.get('VERBOSE', False))
+    last_log_time = [None]  # windowed rate: excludes compile time
 
     # ---------------- loop ----------------
     step = start_step
@@ -128,8 +131,12 @@ def main(args):
             meter.step(batch_size)
             if step % log_step == 0:
                 host = {k: float(v) for k, v in metrics.items()}
-                host['throughput/pairs_per_sec_per_chip'] = \
-                    meter.pairs_per_sec_per_chip()
+                now = time.time()
+                if last_log_time[0] is not None:
+                    host['throughput/pairs_per_sec_per_chip'] = (
+                        log_step * batch_size / (now - last_log_time[0])
+                        / len(jax.devices()))
+                last_log_time[0] = now
                 writer.scalars(step, host)
                 if verbose:
                     print(f'Epoch: {epoch} step: {step} '
@@ -195,6 +202,10 @@ if __name__ == '__main__':
                         help='cap steps per epoch (smoke runs)')
     parser.add_argument('--epochs', type=int, default=0)
     parser.add_argument('--batch_size', type=int, default=0)
+    parser.add_argument('--lr', type=float, default=0.0,
+                        help='override SOLVER.LR (smoke runs; random init '
+                             'often diverges at the reference LR, which '
+                             'assumes pretrained ImageNet weights)')
     parser.add_argument('--image_size', type=int, nargs=2,
                         default=(320, 240))
     main(parser.parse_args())
