@@ -160,7 +160,26 @@ def get_perspective_transform(src: Array, dst: Array) -> Array:
     h_n = q_dst @ inv3x3(q_src)
     t_dst_inv = _denormalization_transform(dst)
     h_full = t_dst_inv @ h_n @ t_src
-    return h_full / h_full[:, 2:3, 2:3]
+    return _normalize_gauge(h_full)
+
+
+def _normalize_gauge(h_full: Array) -> Array:
+    """Scale-normalize homographies, robust to the h33->0 gauge singularity.
+
+    A homography is defined up to scale; cv2/kornia fix h33=1. For patches
+    far from the image origin the TRUE h33 can legitimately pass through
+    zero (the projective row cancels the translation), and dividing by it in
+    float32 yields inf/NaN — observed once every few hundred datagen batches.
+    Every consumer (warp division, transform_points, inv3x3) is
+    scale-invariant, so when |h33| is small relative to the matrix we divide
+    by the (sign-matched) max entry instead of h33.
+    """
+    h22 = h_full[:, 2:3, 2:3]
+    maxabs = jnp.max(jnp.abs(h_full), axis=(1, 2), keepdims=True)
+    maxabs = jnp.maximum(maxabs, 1e-20)
+    safe = jnp.abs(h22) > 1e-5 * maxabs
+    fallback = jnp.where(h22 < 0, -maxabs, maxabs)
+    return h_full / jnp.where(safe, h22, fallback)
 
 
 def four_point_to_homography(corners: Array, deltas: Array,

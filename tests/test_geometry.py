@@ -264,3 +264,22 @@ def test_pallas_tent_kernel_parity_interpret():
     for a, b in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=0.5)
+
+
+def test_gauge_singularity_regression():
+    # Regression: this exact (corners, delta) draw from datagen step 420 of
+    # a seed-42 run makes the true homography's h33 pass through ~0; the
+    # naive h33=1 normalization produced inf/NaN in float32 and NaN'd
+    # training after ~400 steps.
+    corners = jnp.array([[[44., 58.], [172., 58.], [172., 186.],
+                          [44., 186.]]])
+    delta = jnp.array([[[-23., -5.], [18., 20.], [-9., -31.], [25., 5.]]])
+    h = geometry.four_point_to_homography(corners, delta)
+    assert np.all(np.isfinite(np.asarray(h))), np.asarray(h)
+    mapped = geometry.transform_points(h, corners)
+    np.testing.assert_allclose(np.asarray(mapped),
+                               np.asarray(corners + delta), atol=0.1)
+    # And the warp built from it stays finite.
+    img = jnp.ones((1, 240, 320, 1))
+    out = geometry.warp_image(img, h, target_hw=(64, 64))
+    assert np.all(np.isfinite(np.asarray(out)))
