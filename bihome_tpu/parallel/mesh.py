@@ -42,5 +42,14 @@ def shard_batch(mesh: Mesh, tree: Any, axis_name: str = 'data') -> Any:
         lambda x: jax.device_put(x, sharding), tree)
 
 
+def shard_axis(mesh: Mesh, tree: Any, axis: int,
+               axis_name: str = 'data') -> Any:
+    """device_put with the given axis sharded (e.g. axis=1 for stacked
+    multi-step [K,B,...] image blocks)."""
+    sharding = NamedSharding(mesh, P(*([None] * axis + [axis_name])))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)
+
+
 def is_main_process() -> bool:
     return jax.process_index() == 0

@@ -17,24 +17,36 @@ from typing import Dict, Optional
 
 
 class MetricsWriter:
+    """JSONL scalar log (+opt-in TensorBoard).
+
+    TensorBoard event writing is opt-in via BIHOME_TENSORBOARD=1: the
+    torch/tensorboard record writer blocks for tens of seconds per write in
+    this image (profiled), and JSONL covers headless analysis. Device arrays
+    are fetched with ONE device_get per call — per-scalar float() costs a
+    full device round-trip each (~130ms over the TPU tunnel).
+    """
+
     def __init__(self, log_dir: str):
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self._jsonl = open(os.path.join(log_dir, 'metrics.jsonl'), 'a')
         self._tb = None
-        try:
-            from torch.utils.tensorboard import SummaryWriter
-            self._tb = SummaryWriter(log_dir)
-        except Exception:
-            self._tb = None
+        if os.environ.get('BIHOME_TENSORBOARD'):
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(log_dir)
+            except Exception:
+                self._tb = None
 
-    def scalars(self, step: int, values: Dict[str, float]) -> None:
+    def scalars(self, step: int, values: Dict) -> None:
+        import jax
+        host = jax.device_get(values)
         rec = {'step': int(step)}
-        rec.update({k: float(v) for k, v in values.items()})
+        rec.update({k: float(v) for k, v in host.items()})
         self._jsonl.write(json.dumps(rec) + '\n')
         self._jsonl.flush()
         if self._tb is not None:
-            for k, v in values.items():
+            for k, v in host.items():
                 self._tb.add_scalar(k, float(v), int(step))
 
     def flush(self) -> None:

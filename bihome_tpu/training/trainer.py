@@ -113,6 +113,85 @@ def make_multi_train_step(built: BuiltModel, tx, schedule,
     return multi_step
 
 
+def make_pool_train_step(built: BuiltModel, tx, schedule, num_steps: int,
+                         batch_size: int) -> Callable:
+    """Scan train steps sampling batches from a DEVICE-RESIDENT image pool.
+
+    (state, pool_u8 [N,H,W,3], rng) -> (state, last-step metrics).
+
+    The right input architecture for slow host links (this environment's
+    TPU tunnel moves ~23MB/s H2D — streaming 64x240x320x3 batches per step
+    caps training at ~100 pairs/s regardless of compute): the working set
+    lives in HBM, per-step batches are gathered by on-device random
+    indices, and the host refreshes the pool asynchronously every few
+    hundred steps. Sampling-with-replacement from a rotating uniform pool
+    approximates the reference's per-epoch seeded choice over the full
+    dataset (ref: src/data/coco/dataset.py:136-142).
+    """
+    step = make_train_step(built, tx, schedule)
+
+    def pool_step(state: TrainState, pool: jax.Array, rng: jax.Array):
+        def body(carry, _):
+            st = carry
+            idx = jax.random.randint(
+                jax.random.fold_in(rng, st.step), (batch_size,), 0,
+                pool.shape[0])
+            images = jnp.take(pool, idx, axis=0)
+            st, metrics = step(st, images, rng)
+            return st, metrics
+
+        state, metrics = jax.lax.scan(body, state, None, length=num_steps)
+        last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return state, last
+
+    return pool_step
+
+
+def make_pool_eval_step(built: BuiltModel, num_steps: int,
+                        batch_size: int, test: bool = True) -> Callable:
+    """Scan eval steps sampling from a device pool; returns metric means."""
+    step = make_eval_step(built, test=test)
+
+    def pool_eval(state: TrainState, pool: jax.Array, rng: jax.Array):
+        def body(i, _):
+            key = jax.random.fold_in(rng, i)
+            idx = jax.random.randint(key, (batch_size,), 0, pool.shape[0])
+            images = jnp.take(pool, idx, axis=0)
+            return i + 1, step(state, images, key)
+
+        _, metrics = jax.lax.scan(body, 0, None, length=num_steps)
+        return jax.tree_util.tree_map(lambda m: jnp.mean(m), metrics)
+
+    return pool_eval
+
+
+def make_multi_eval_step(built: BuiltModel, num_steps: int,
+                         test: bool = True) -> Callable:
+    """Scan ``num_steps`` eval steps per dispatch; returns metric means."""
+    step = make_eval_step(built, test=test)
+
+    def multi_eval(state: TrainState, images: jax.Array, rng: jax.Array):
+        def body(i, _):
+            return i + 1, step(state, images[i],
+                               jax.random.fold_in(rng, i))
+
+        _, metrics = jax.lax.scan(body, 0, None, length=num_steps)
+        return jax.tree_util.tree_map(lambda m: jnp.mean(m), metrics)
+
+    return multi_eval
+
+
+def pick_steps_per_call(steps_per_epoch: int, log_step: int,
+                        max_steps: int = 25) -> int:
+    """Largest divisor of both epoch length and logging interval <= max."""
+    import math
+    g = math.gcd(max(steps_per_epoch, 1), max(log_step, 1))
+    for d in range(min(max_steps, g), 0, -1):
+        if g % d == 0:
+            return d
+    return 1
+
+
 def make_eval_step(built: BuiltModel, test: bool = True) -> Callable:
     """(state, images_u8, rng) -> metrics (eval-mode loss + MACE),
     the eval_one_epoch body (ref: train.py:432-489)."""

@@ -102,60 +102,130 @@ def main(args):
     # ---------------- mesh / compile ----------------
     mesh = mesh_lib.make_mesh()
     print(f'Mesh: {mesh.shape} over {len(jax.devices())} device(s)')
-    train_step = trainer_lib.compile_for_mesh(
-        trainer_lib.make_train_step(built, tx, schedule), mesh)
-    eval_step = trainer_lib.compile_for_mesh(
-        trainer_lib.make_eval_step(built), mesh, donate_state=False)
-
+    # Multiple steps per dispatch: each jit dispatch over the TPU tunnel
+    # costs far more than the device compute of one step (see BENCH_NOTES),
+    # so the loop scans K steps per call (K divides the logging interval).
+    log_step = int(log_cfg.get('STEP', 100))
+    spc = args.steps_per_call or trainer_lib.pick_steps_per_call(
+        steps_per_epoch, log_step)
+    print(f'steps_per_call: {spc}')
     rep = mesh_lib.replicated_sharding(mesh)
+    feed = args.feed
+    if feed == 'pool':
+        train_block = jax.jit(
+            trainer_lib.make_pool_train_step(built, tx, schedule, spc,
+                                             batch_size),
+            donate_argnums=(0,))
+        eval_block = (jax.jit(trainer_lib.make_pool_eval_step(
+            built, test_steps, batch_size)) if test_steps > 0 else None)
+    else:
+        train_block = jax.jit(
+            trainer_lib.make_multi_train_step(built, tx, schedule, spc),
+            donate_argnums=(0,))
+        eval_block = (jax.jit(trainer_lib.make_multi_eval_step(
+            built, test_steps)) if test_steps > 0 else None)
+
     state = jax.device_put(state, rep)
     train_rng = jax.device_put(
         jax.random.PRNGKey(sampler_cfg.get('TRAIN_SEED', 0) or 0), rep)
-    eval_rng_base = jax.random.PRNGKey(sampler_cfg.get('TEST_SEED', 0) or 0)
+    eval_rng = jax.device_put(
+        jax.random.PRNGKey(sampler_cfg.get('TEST_SEED', 0) or 0), rep)
 
     writer = metrics_lib.MetricsWriter(log_dir)
-    meter = metrics_lib.ThroughputMeter(num_chips=len(jax.devices()))
-    log_step = int(log_cfg.get('STEP', 100))
     verbose = bool(log_cfg.get('VERBOSE', False))
     last_log_time = [None]  # windowed rate: excludes compile time
 
+    # ---------------- device image pools (feed='pool') ----------------
+    if feed == 'pool':
+        pool_size = min(args.pool_size, len(train_ds))
+        pool_sampler = datasets.EpochSampler(
+            len(train_ds), pool_size,
+            random_seed=sampler_cfg.get('TRAIN_SEED'))
+
+        def load_pool(ds, indices):
+            return np.stack([ds.load_image(int(i)) for i in indices])
+
+        train_pool = jax.device_put(
+            load_pool(train_ds, pool_sampler.epoch_indices()), rep)
+        dispatches_per_refresh = max(
+            1, args.pool_refresh_steps // spc)
+        if test_ds is not None and test_steps > 0:
+            test_sampler = datasets.EpochSampler(
+                len(test_ds), min(args.pool_size, len(test_ds)),
+                random_seed=sampler_cfg.get('TEST_SEED'))
+            test_pool = jax.device_put(
+                load_pool(test_ds, test_sampler.epoch_indices()), rep)
+
+        # Background pool refresher: prepares the next host-side pool while
+        # the device trains; the main loop uploads it between dispatches.
+        import queue as _queue
+        import threading as _threading
+        next_pool_q: '_queue.Queue' = _queue.Queue(maxsize=1)
+
+        def _refresher():
+            while True:
+                arr = load_pool(train_ds, pool_sampler.epoch_indices())
+                next_pool_q.put(arr)  # blocks until consumed
+
+        if len(train_ds) > pool_size:
+            _threading.Thread(target=_refresher, daemon=True).start()
+
     # ---------------- loop ----------------
     step = start_step
+    dispatch_count = 0
     for epoch in range(start_epoch, epochs):
         print(f'Training epoch: {epoch}')
         t_epoch = time.time()
-        for images in train_loader.epoch():
-            images_dev = mesh_lib.shard_batch(mesh, images)
-            state, metrics = train_step(state, images_dev, train_rng)
-            step += 1
-            meter.step(batch_size)
-            if step % log_step == 0:
-                host = {k: float(v) for k, v in metrics.items()}
-                now = time.time()
-                if last_log_time[0] is not None:
-                    host['throughput/pairs_per_sec_per_chip'] = (
-                        log_step * batch_size / (now - last_log_time[0])
-                        / len(jax.devices()))
-                last_log_time[0] = now
-                writer.scalars(step, host)
-                if verbose:
-                    print(f'Epoch: {epoch} step: {step} '
-                          f'loss: {host["loss/train"]:.5f}')
-        checkpointer.save(step, jax.device_get(state))
-        print(f'Epoch {epoch} done in {time.time() - t_epoch:.1f}s, '
-              f'{meter.pairs_per_sec_per_chip():.1f} pairs/s/chip')
 
-        if test_loader is not None:
+        def log_metrics(metrics):
+            host = {k: float(v)
+                    for k, v in jax.device_get(metrics).items()}
+            now = time.time()
+            if last_log_time[0] is not None:
+                host['throughput/pairs_per_sec_per_chip'] = (
+                    log_step * batch_size / (now - last_log_time[0])
+                    / len(jax.devices()))
+            last_log_time[0] = now
+            writer.scalars(step, host)
+            if verbose:
+                print(f'Epoch: {epoch} step: {step} '
+                      f'loss: {host["loss/train"]:.5f}')
+
+        if feed == 'pool':
+            for _ in range(steps_per_epoch // spc):
+                state, metrics = train_block(state, train_pool, train_rng)
+                step += spc
+                dispatch_count += 1
+                if step % log_step == 0:
+                    log_metrics(metrics)
+                if (dispatch_count % dispatches_per_refresh == 0
+                        and not next_pool_q.empty()):
+                    train_pool = jax.device_put(next_pool_q.get(), rep)
+        else:
+            chunk = []
+            for images in train_loader.epoch():
+                chunk.append(images)
+                if len(chunk) < spc:
+                    continue
+                block = mesh_lib.shard_axis(mesh, np.stack(chunk), axis=1)
+                chunk = []
+                state, metrics = train_block(state, block, train_rng)
+                step += spc
+                if step % log_step == 0:
+                    log_metrics(metrics)
+        checkpointer.save(step, jax.device_get(state))
+        print(f'Epoch {epoch} done in {time.time() - t_epoch:.1f}s')
+
+        if test_loader is not None and eval_block is not None:
             print(f'Testing epoch: {epoch}')
-            accum = {}
-            for i, images in enumerate(test_loader.epoch()):
-                images_dev = mesh_lib.shard_batch(mesh, images)
-                m = eval_step(state, images_dev,
-                              jax.random.fold_in(eval_rng_base, i))
-                for k, v in m.items():
-                    accum.setdefault(k, []).append(float(v))
+            if feed == 'pool':
+                m = jax.device_get(eval_block(state, test_pool, eval_rng))
+            else:
+                test_images = np.stack(list(test_loader.epoch()))
+                test_dev = mesh_lib.shard_axis(mesh, test_images, axis=1)
+                m = jax.device_get(eval_block(state, test_dev, eval_rng))
             writer.scalars((epoch + 1) * steps_per_epoch,
-                           {k: float(np.mean(v)) for k, v in accum.items()})
+                           {k: float(v) for k, v in m.items()})
     writer.close()
     print('DONE!')
 
@@ -202,6 +272,19 @@ if __name__ == '__main__':
                         help='cap steps per epoch (smoke runs)')
     parser.add_argument('--epochs', type=int, default=0)
     parser.add_argument('--batch_size', type=int, default=0)
+    parser.add_argument('--feed', choices=('pool', 'stream'),
+                        default='pool',
+                        help="input feed: 'pool' keeps a device-resident "
+                             "rotating image pool (default; required on "
+                             "slow host links), 'stream' uploads each "
+                             "batch from the host loader")
+    parser.add_argument('--pool_size', type=int, default=1024,
+                        help='device image-pool size (feed=pool)')
+    parser.add_argument('--pool_refresh_steps', type=int, default=1000,
+                        help='refresh the device pool every N steps')
+    parser.add_argument('--steps_per_call', type=int, default=0,
+                        help='train steps scanned per dispatch (default: '
+                             'auto divisor of LOGGING.STEP)')
     parser.add_argument('--lr', type=float, default=0.0,
                         help='override SOLVER.LR (smoke runs; random init '
                              'often diverges at the reference LR, which '
