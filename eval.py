@@ -115,38 +115,65 @@ def main(args):
 
     gen = jax.jit(pipeline.generate_pairs, static_argnums=2)
     predict = jax.jit(trainer_lib.make_predict_step(built))
-
     test_seed = sampler_cfg.get('TEST_SEED', 42)
-    model_time = []
-    batched_mace = []
-    for it, images in enumerate(loader.epoch()):
-        batch = gen(jnp.asarray(images),
-                    jax.random.fold_in(jax.random.PRNGKey(test_seed), it),
-                    built.test_pair_spec)
-        start = time.perf_counter()
-        delta_hat, _ = predict(state, batch,
-                               jax.random.fold_in(
-                                   jax.random.PRNGKey(test_seed + 1), it))
-        delta_hat = jax.block_until_ready(delta_hat)
-        model_time.append((time.perf_counter() - start) * 1000.0)
 
-        delta_gt = np.asarray(batch['delta'])
-        mace = float(np.mean(np.linalg.norm(
-            delta_gt.reshape(-1, 2) - np.asarray(delta_hat).reshape(-1, 2),
-            axis=-1)))
-        batched_mace.append(mace)
-        if args.log:
-            with open(args.log, 'a') as f:
-                f.write(f'{it},{mace}\n')
-        if args.vis:
-            save_visualization(os.path.join('vis_out'), it, batch,
-                               delta_gt, np.asarray(delta_hat))
+    # The whole evaluation runs as ONE scanned dispatch over a
+    # device-resident image pool: per-iteration dispatches cost seconds over
+    # the TPU tunnel (see BENCH_NOTES.md), which would make the reference
+    # protocol (2304 iterations at batch 1) take tens of minutes.
+    num_iters = test_samples // batch_size
+    pool_np = np.stack([ds.load_image(i % len(ds))
+                        for i in range(min(len(ds), 1024))])
+    pool = jnp.asarray(pool_np)
+    spec = built.test_pair_spec
+
+    def eval_one(state, pool, it):
+        key = jax.random.fold_in(jax.random.PRNGKey(test_seed), it)
+        idx = jax.random.randint(jax.random.fold_in(key, 1), (batch_size,),
+                                 0, pool.shape[0])
+        batch = pipeline.generate_pairs(jnp.take(pool, idx, axis=0),
+                                        key, spec)
+        delta_hat, _ = trainer_lib.make_predict_step(built)(
+            state, batch, jax.random.fold_in(
+                jax.random.PRNGKey(test_seed + 1), it))
+        diff = (batch['delta'].reshape(batch_size, -1, 2)
+                - delta_hat.reshape(batch_size, -1, 2))
+        mace = jnp.mean(jnp.linalg.norm(diff, axis=-1))
+        return mace
+
+    @jax.jit
+    def eval_all(state, pool, iter_offset):
+        return jax.lax.map(lambda i: eval_one(state, pool, i + iter_offset),
+                           jnp.arange(num_iters))
+
+    # MACE run (fixed TEST_SEED protocol), then a differently-offset run for
+    # timing — the TPU runtime memoizes identical executions, so re-running
+    # the same inputs reports ~0ms (see BENCH_NOTES.md).
+    maces = np.asarray(jax.block_until_ready(eval_all(state, pool, 0)))
+    start = time.perf_counter()
+    jax.block_until_ready(eval_all(state, pool, 1_000_000))
+    per_batch_ms = (time.perf_counter() - start) / num_iters * 1000.0
+
+    if args.log:
+        with open(args.log, 'a') as f:
+            for it, m in enumerate(maces):
+                f.write(f'{it},{float(m)}\n')
+    if args.vis:
+        # Recreate the first few batches eagerly for the visual dump.
+        for it in range(min(8, num_iters)):
+            key = jax.random.fold_in(jax.random.PRNGKey(test_seed), it)
+            idx = jax.random.randint(jax.random.fold_in(key, 1),
+                                     (batch_size,), 0, pool.shape[0])
+            batch = gen(jnp.take(pool, idx, axis=0), key, spec)
+            delta_hat, _ = predict(state, batch, jax.random.fold_in(
+                jax.random.PRNGKey(test_seed + 1), it))
+            save_visualization('vis_out', it, batch,
+                               np.asarray(batch['delta']),
+                               np.asarray(delta_hat))
 
     print('Number of params: {}'.format(count_params(state.params)))
-    print('Mean mace: {}'.format(np.mean(batched_mace)))
-    print('Mean model time: {}'.format(np.mean(model_time[1:])
-                                       if len(model_time) > 1
-                                       else model_time[0]))
+    print('Mean mace: {}'.format(float(np.mean(maces))))
+    print('Mean model time: {}'.format(per_batch_ms))
 
 
 if __name__ == '__main__':
