@@ -39,6 +39,8 @@ def main(args):
     config = config_lib.load_config(args.config_file)
     if args.lr:
         config['SOLVER']['LR'] = args.lr
+    if args.dtype:
+        config['MODEL']['DTYPE'] = args.dtype
     data_cfg = config['DATA']
     sampler_cfg = data_cfg['SAMPLER']
     solver_cfg = config['SOLVER']
@@ -272,6 +274,8 @@ if __name__ == '__main__':
                         help='cap steps per epoch (smoke runs)')
     parser.add_argument('--epochs', type=int, default=0)
     parser.add_argument('--batch_size', type=int, default=0)
+    parser.add_argument('--dtype', choices=('float32', 'bfloat16'),
+                        default='', help='override MODEL.DTYPE')
     parser.add_argument('--feed', choices=('pool', 'stream'),
                         default='pool',
                         help="input feed: 'pool' keeps a device-resident "
