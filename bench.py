@@ -60,8 +60,13 @@ def main():
     # Device-resident synthetic source pool; per-step batch gathered by
     # index on device (the input pipeline streams uint8 from host in real
     # training; datagen itself is the benchmarked on-device path).
+    # Pool seed is randomized per run: the TPU runtime memoizes identical
+    # executions ACROSS PROCESSES, so a repeated bench with identical data
+    # would replay cached results at fake speed (BENCH_SEED pins it).
+    seed = int(os.environ.get('BENCH_SEED',
+                              str(int.from_bytes(os.urandom(2), 'big'))))
     pool = jnp.asarray(synthetic.make_image_pool(max(batch, 64), 240, 320,
-                                                 seed=0))
+                                                 seed=seed))
     pool = jax.device_put(pool, mesh_lib.replicated_sharding(mesh))
 
     sample = np.asarray(pool[:batch])

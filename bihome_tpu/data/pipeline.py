@@ -132,11 +132,13 @@ def _corners_from_position(pos_x: Array, pos_y: Array,
         jnp.stack([x1, y1], -1), jnp.stack([x0, y1], -1)], axis=1)
 
 
-def _extract_patch(image: Array, x0: Array, y0: Array,
-                   patch_size: int) -> Array:
-    """Static-size dynamic crop [H,W,C] -> [ps,ps,C] at per-sample offsets."""
-    return jax.lax.dynamic_slice(
-        image, (y0, x0, 0), (patch_size, patch_size, image.shape[-1]))
+def _extract_patches(images: Array, x0: Array, y0: Array,
+                     patch_size: int) -> Array:
+    """Batched static-size crop [B,H,W,C] -> [B,ps,ps,C] at per-sample
+    integer offsets (factorized one-hot contractions; a vmapped
+    lax.dynamic_slice compiles to a PER-SAMPLE while loop of
+    dynamic-update-slices at batch > 64 — profiled at ~2s/step)."""
+    return geometry.crop_integer(images, x0, y0, (patch_size, patch_size))
 
 
 def _warp_patches(images: Array, homography: Array, corners0: Array,
@@ -147,11 +149,12 @@ def _warp_patches(images: Array, homography: Array, corners0: Array,
     (ref: src/data/transforms.py:573-576) but samples only the patch pixels:
     patch(i, j) = image(H · (x0+j, y0+i)).
 
-    TPU optimization: every source coordinate lies inside the quadrilateral
-    with vertices corners+delta (homographies map the convex patch square
-    into it), which is contained in the patch grown by rho — so only a
-    static (ps+2·rho)² window of each image participates. We slice those
-    windows and run ONE batched fused-warp over them.
+    Every source coordinate lies inside the quadrilateral with vertices
+    corners+delta (homographies map the convex patch square into it), which
+    is contained in the patch grown by rho — so only a static (ps+2·rho)²
+    window participates; the window is extracted with the factorized
+    one-hot crop (NOT dynamic_slice, which serializes per-sample at
+    batch > 64) and sampled with one batched fused warp.
     """
     ps = patch_size
     b, h, w, c = images.shape
@@ -159,10 +162,7 @@ def _warp_patches(images: Array, homography: Array, corners0: Array,
     ws_y = min(ps + 2 * rho, h)
     ox = jnp.clip(corners0[:, 0].astype(jnp.int32) - rho, 0, w - ws_x)
     oy = jnp.clip(corners0[:, 1].astype(jnp.int32) - rho, 0, h - ws_y)
-    windows = jax.vmap(
-        lambda img, oyi, oxi: jax.lax.dynamic_slice(
-            img, (oyi, oxi, 0), (ws_y, ws_x, c)))(images, oy, ox)
-
+    windows = geometry.crop_integer(images, ox, oy, (ws_y, ws_x))
     u, v = geometry.homography_grid(homography, (ps, ps),
                                     offset=corners0.astype(jnp.float32))
     u = u - ox.astype(jnp.float32)[:, None]
@@ -217,8 +217,7 @@ def generate_pairs_deterministic(
     patch_2_src = (color.rgb_to_grayscale(image_2) if patch_2_gray
                    else image_2)
 
-    patch_1 = jax.vmap(_extract_patch, in_axes=(0, 0, 0, None))(
-        patch_1_src, x0, y0, ps)
+    patch_1 = _extract_patches(patch_1_src, x0, y0, ps)
 
     homography = geometry.four_point_to_homography(corners, delta)
     patch_2 = _warp_patches(patch_2_src, homography,

@@ -309,7 +309,10 @@ def batched_sample(images: Array, u: Array, v: Array) -> Array:
 # (measured: batch 256 datagen warp -> 4.8GB transient, 13x throughput
 # collapse). Groups stay large so each lax.map iteration still saturates
 # the MXU (unlike fine-grained point-chunking, which serialized).
-_TENT_GROUP_BYTES = 512 * 1024 * 1024
+# 3GB keeps the flagship biHomE loss warp (batch 64 -> [128n,16384,128,2]
+# ~2.1GB) in ONE group — grouping it serializes fwd+bwd through a lax.map
+# and costs ~2x end-to-end (measured 1028 -> 577 pairs/s).
+_TENT_GROUP_BYTES = 3 * 1024 * 1024 * 1024
 
 
 def _tent_batch_grouped(images: Array, u: Array, v: Array) -> Array:
@@ -331,6 +334,28 @@ def _tent_batch_grouped(images: Array, u: Array, v: Array) -> Array:
         (images.reshape(ng, group, h, w, c),
          u.reshape(ng, group, p), v.reshape(ng, group, p)))
     return out.reshape(ng * group, p, c)[:b]
+
+
+def crop_integer(images: Array, x0: Array, y0: Array,
+                 size_hw: Tuple[int, int]) -> Array:
+    """Batched exact crop at per-sample integer offsets, MXU-formulated.
+
+    images [B,H,W,C], x0/y0 [B] int -> [B,sh,sw,C]. Two factorized one-hot
+    contractions (rows then cols) — a vmapped lax.dynamic_slice serializes
+    into a per-sample while loop on TPU at larger batches; this is a pair of
+    tiny matmuls instead. Offsets are assumed in-bounds (callers guarantee
+    the patch margin); out-of-range rows select zeros.
+    """
+    sh, sw = size_hw
+    b, h, w, c = images.shape
+    rows = (jnp.arange(h)[None, None, :]
+            == (y0.astype(jnp.int32)[:, None]
+                + jnp.arange(sh))[:, :, None])               # [B,sh,H]
+    cols = (jnp.arange(w)[None, None, :]
+            == (x0.astype(jnp.int32)[:, None]
+                + jnp.arange(sw))[:, :, None])               # [B,sw,W]
+    tmp = jnp.einsum('bph,bhwc->bpwc', rows.astype(images.dtype), images)
+    return jnp.einsum('bqw,bpwc->bpqc', cols.astype(images.dtype), tmp)
 
 
 def homography_grid(homography: Array, target_hw: Tuple[int, int],
