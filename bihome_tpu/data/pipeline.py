@@ -269,26 +269,50 @@ def generate_pairs(images: Array, key: Array,
     b, h, w, _ = images.shape
     k_pd1, k_pd2, k_pos, k_delta = jax.random.split(key, 4)
 
-    image_1 = images
-    if 'image_1' in spec.photometric_keys and spec.max_delta > 0:
-        image_1 = jax.vmap(photometric.photometric_distort_simple,
-                           in_axes=(0, 0, None))(
-            images, jax.random.split(k_pd1, b), spec.max_delta)
-    image_2 = images
-    if 'image_2' in spec.photometric_keys and spec.max_delta > 0:
-        image_2 = jax.vmap(photometric.photometric_distort_simple,
-                           in_axes=(0, 0, None))(
-            images, jax.random.split(k_pd2, b), spec.max_delta)
-
     pos_x, pos_y = _sample_patch_position(k_pos, b, (h, w), spec)
     corners = _corners_from_position(pos_x, pos_y, spec.patch_size)
     # randint(-rho, rho) — high-exclusive, matching np.random.randint
     # (ref: src/data/transforms.py:538).
     delta = jax.random.randint(k_delta, (b, 4, 2), -spec.rho, spec.rho)
 
-    batch = generate_pairs_deterministic(
-        images, corners.astype(jnp.float32), delta.astype(jnp.float32),
-        spec, image_1=image_1, image_2=image_2)
+    def distort(imgs, k):
+        return jax.vmap(photometric.photometric_distort_simple,
+                        in_axes=(0, 0, None))(
+            imgs, jax.random.split(k, imgs.shape[0]), spec.max_delta)
+
+    pd1 = 'image_1' in spec.photometric_keys and spec.max_delta > 0
+    pd2 = 'image_2' in spec.photometric_keys and spec.max_delta > 0
+
+    if not spec.emit_images:
+        # Window-first fast path: everything downstream (patch_1 crop,
+        # patch_2 warp) reads only the (ps+2·rho)² window around the patch
+        # (convexity bound, see _warp_patches), so photometric distortion and
+        # grayscale run on ~half the pixels. Per-sample photometric params
+        # are pixel-independent, so distort(window) == distort(image)|window.
+        ps = spec.patch_size
+        ws_x = min(ps + 2 * spec.rho, w)
+        ws_y = min(ps + 2 * spec.rho, h)
+        ox = jnp.clip(corners[:, 0, 0] - spec.rho, 0, w - ws_x)
+        oy = jnp.clip(corners[:, 0, 1] - spec.rho, 0, h - ws_y)
+        windows = geometry.crop_integer(images, ox, oy, (ws_y, ws_x))
+        win_1 = distort(windows, k_pd1) if pd1 else windows
+        win_2 = distort(windows, k_pd2) if pd2 else windows
+        origin = jnp.stack([ox, oy], axis=-1)[:, None, :]      # [B,1,2]
+        corners_local = (corners - origin).astype(jnp.float32)
+        batch = generate_pairs_deterministic(
+            windows, corners_local, delta.astype(jnp.float32),
+            spec, image_1=win_1, image_2=win_2)
+        # Restore absolute-frame outputs (diff-field targets and patches are
+        # translation-invariant; corners/homography are frame-dependent).
+        batch['corners'] = corners.astype(jnp.float32)
+        batch['homography'] = geometry.four_point_to_homography(
+            batch['corners'], batch['delta'])
+    else:
+        image_1 = distort(images, k_pd1) if pd1 else images
+        image_2 = distort(images, k_pd2) if pd2 else images
+        batch = generate_pairs_deterministic(
+            images, corners.astype(jnp.float32), delta.astype(jnp.float32),
+            spec, image_1=image_1, image_2=image_2)
 
     if spec.blob_porosity > 0 and b > 1:
         from bihome_tpu.data import blobs

@@ -185,3 +185,22 @@ class TestPhotometric:
         assert spec.photometric_keys == ('image_1', 'image_2')
         assert spec.standardize_mean == 0.443
         assert spec.grayscale_keys == ('patch_1', 'patch_2')
+
+
+def test_windowed_fast_path_matches_full_image_path():
+    # generate_pairs uses a window-first fast path when no full images are
+    # emitted; it must produce identical patches/targets to the full-image
+    # path (same key => same pos/delta draws; photometric off).
+    imgs = jnp.array(make_images(3, seed=21))
+    key = jax.random.PRNGKey(9)
+    spec_fast = small_spec(target_gen='all_points')
+    spec_full = small_spec(target_gen='all_points',
+                           emit_images=('image_2',))
+    fast = pipeline.generate_pairs(imgs, key, spec_fast)
+    full = pipeline.generate_pairs(imgs, key, spec_full)
+    for k in ('patch_1', 'patch_2', 'delta', 'corners', 'target'):
+        np.testing.assert_allclose(np.asarray(fast[k]), np.asarray(full[k]),
+                                   atol=2e-3, err_msg=k)
+    np.testing.assert_allclose(np.asarray(fast['homography']),
+                               np.asarray(full['homography']),
+                               rtol=1e-4, atol=1e-4)
