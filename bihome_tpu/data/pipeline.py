@@ -16,9 +16,10 @@ Differences from the reference, by design (documented for parity review):
     bit-parity, with np.random.RandomState — see SURVEY §7 hard part 3).
   * patch_2 is sampled directly at the warped patch grid instead of warping
     the full image then cropping — mathematically identical (the reference
-    warps 240x320 then slices 128x128; we gather exactly the 128x128 patch
-    coords), ~4.7x less gather work. The full warped image_2 is only
-    materialized when a consumer (e.g. visualization) asks for it.
+    warps 240x320 then slices 128x128; we sample exactly the 128x128 patch
+    coords from a (ps+2rho)^2 window). Photometric distortion and grayscale
+    also run window-first. Full images are only materialized when a consumer
+    (PhotometricHead, visualization) asks for them.
   * Layout is NHWC (TPU-native) instead of NCHW; DictToTensor's transpose
     is therefore a no-op here.
 """

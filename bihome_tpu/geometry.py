@@ -9,13 +9,13 @@ plus the kornia calls the reference relies on:
   coordinate normalization so float32 is sufficient on TPU (no float64).
 * ``warp_image`` / ``warp_perspective`` (ref: src/data/utils.py:54-67,
   kornia.warp_perspective / cv2.warpPerspective): dense perspective warp with
-  bilinear sampling and zero padding. Everything is expressed as one fused
-  gather so XLA can tile it; gradients flow through both the image values and
-  the homography (needed by the biHomE loss, ref: src/heads/PerceptualHead.py:237-243).
+  bilinear sampling and zero padding — MXU tent contractions on TPU, gathers
+  elsewhere; gradients flow through both the image values and the homography
+  (needed by the biHomE loss, ref: src/heads/PerceptualHead.py:237-243).
 * ``transform_points`` (kornia.transform_points; ref: src/data/utils.py:70-136).
 * ``find_homography_dlt`` (kornia.find_homography_dlt used by DSAC,
-  ref: src/heads/ransac_utils.py:72): batched weighted normalized DLT solved
-  with a 9x9 eigendecomposition (TPU-friendly; no SVD of tall matrices).
+  ref: src/heads/ransac_utils.py:72): batched weighted DLT via the 8x8
+  normal equations and a statically unrolled Cholesky (no LAPACK on TPU).
 
 Coordinate convention matches cv2/kornia(align_corners=True): pixel centers at
 integer coordinates, origin at the top-left pixel center, x = column,
@@ -24,7 +24,6 @@ y = row. Points are (x, y).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -239,8 +238,7 @@ def bilinear_sample(image: Array, x: Array, y: Array) -> Array:
             + tap(y0 + 1, x0, wy1 * wx0) + tap(y0 + 1, x0 + 1, wy1 * wx1))
 
 
-def tent_sample(image: Array, x: Array, y: Array,
-                chunk: int = 2048) -> Array:
+def tent_sample(image: Array, x: Array, y: Array) -> Array:
     """MXU bilinear sampling: contractions against tent (hat) weights.
 
     Mathematically identical to :func:`bilinear_sample` (zero padding
@@ -251,8 +249,8 @@ def tent_sample(image: Array, x: Array, y: Array,
         out[p,c] = Σ_h relu(1-|y_p-h|) · Σ_w relu(1-|x_p-w|) · img[h,w,c]
 
     The H·W/4 redundancy factor is far cheaper than TPU gather latency
-    (measured ~40x faster for 128px warps). Chunked over sample points to
-    bound the [chunk,W,C] intermediate.
+    (measured ~40x faster for 128px warps). Memory of the [P,W,C]
+    intermediate is bounded by the batch grouping in ``batched_sample``.
     image: [H,W,C]; x,y: [P] -> [P,C].
     """
     h, w, c = image.shape

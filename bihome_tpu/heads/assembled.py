@@ -17,7 +17,7 @@ TPU-first details:
   * biHomE's four frozen-extractor passes run as ONE stacked [4·B·n] pass
     (ref runs them sequentially: PerceptualHead.py:352-398) — the single
     biggest arithmetic-intensity win of the rebuild.
-  * All warps are the fused batched gather from bihome_tpu.geometry.
+  * All warps go through geometry.batched_sample (MXU tent contractions).
   * DSAC sampling/scoring is batched over hypotheses (heads/dsac.py).
 """
 

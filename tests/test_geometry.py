@@ -221,7 +221,7 @@ def test_tent_sample_matches_gather():
     x = jnp.array(rs.uniform(-3, 28, (500,)), jnp.float32)
     y = jnp.array(rs.uniform(-3, 23, (500,)), jnp.float32)
     a = geometry.bilinear_sample(img, x, y)
-    b = geometry.tent_sample(img, x, y, chunk=128)
+    b = geometry.tent_sample(img, x, y)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-5, atol=1e-3)
 
