@@ -262,6 +262,14 @@ def tent_sample(image: Array, x: Array, y: Array) -> Array:
     # [P,W,C] intermediate is the price; XLA tiles the two contractions.
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(y[:, None] - ys[None, :]))  # [P,H]
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - xs[None, :]))  # [P,W]
+    # bf16 images keep the big [P,W,C] intermediate in bf16 (halves the
+    # dominant HBM traffic). Accumulation precision is a non-issue: each
+    # output element sums exactly 2 nonzero tent terms per axis.
+    if image.dtype == jnp.bfloat16:
+        tmp = jnp.einsum('ph,hwc->pwc', wy.astype(jnp.bfloat16), image,
+                         preferred_element_type=jnp.bfloat16)
+        return jnp.einsum('pw,pwc->pc', wx.astype(jnp.bfloat16), tmp,
+                          preferred_element_type=jnp.float32)
     tmp = jnp.einsum('ph,hwc->pwc', wy, image,
                      preferred_element_type=jnp.float32)
     return jnp.einsum('pw,pwc->pc', wx, tmp,

@@ -414,8 +414,14 @@ class AssembledModel(nn.Module):
         # One fused warp: mask rides as a second channel (same homography,
         # same tent weights), and both directions stack on the batch axis —
         # 4 warp kernels (ref does 4 sequential _warp calls,
-        # PerceptualHead.py:371-401) become 1.
+        # PerceptualHead.py:371-401) become 1. In bf16 compute mode the warp
+        # inputs are cast to bf16 too (the warped patches only feed the bf16
+        # extractor; halves the dominant tent-contraction bandwidth).
         delta_12 = delta_hats_12.reshape(b * n, 4, 2)
+        patch_1 = patch_1.astype(self.dtype)
+        patch_2 = patch_2.astype(self.dtype)
+        patch_1_m = patch_1_m.astype(self.dtype)
+        patch_2_m = patch_2_m.astype(self.dtype)
         pm1 = jnp.concatenate([patch_1, patch_1_m], axis=-1)   # [B*n,i,i,2]
         if doubleline:
             delta_21 = delta_hats_21.reshape(b * n, 4, 2)

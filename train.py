@@ -195,7 +195,14 @@ def main(args):
 
         if feed == 'pool':
             for _ in range(steps_per_epoch // spc):
+                if args.profile and dispatch_count == 2:
+                    jax.profiler.start_trace(
+                        os.path.join(log_dir, 'profile'))
                 state, metrics = train_block(state, train_pool, train_rng)
+                if args.profile and dispatch_count == 3:
+                    jax.block_until_ready(metrics['loss/train'])
+                    jax.profiler.stop_trace()
+                    print(f'Profile trace written to {log_dir}/profile')
                 step += spc
                 dispatch_count += 1
                 if step % log_step == 0:
@@ -274,6 +281,9 @@ if __name__ == '__main__':
                         help='cap steps per epoch (smoke runs)')
     parser.add_argument('--epochs', type=int, default=0)
     parser.add_argument('--batch_size', type=int, default=0)
+    parser.add_argument('--profile', action='store_true',
+                        help='capture a jax.profiler trace of one training '
+                             'dispatch into LOGGING.DIR/profile')
     parser.add_argument('--dtype', choices=('float32', 'bfloat16'),
                         default='', help='override MODEL.DTYPE')
     parser.add_argument('--feed', choices=('pool', 'stream'),
