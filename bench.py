@@ -86,8 +86,8 @@ def main():
 
     def bench_block(state, pool, rng):
         def body(st, k):
-            idx = jax.random.randint(jax.random.fold_in(rng, st.step),
-                                     (batch,), 0, pool.shape[0])
+            idx_key = jax.random.fold_in(jax.random.fold_in(rng, 1), st.step)
+            idx = jax.random.randint(idx_key, (batch,), 0, pool.shape[0])
             images = jnp.take(pool, idx, axis=0)
             return raw_step(st, images, rng)[0], ()
 

@@ -60,6 +60,10 @@ def _fwd_kernel(img_ref, u_ref, v_ref, out_ref):
     tp = u.shape[0]
     wy, _ = _weights(v, h, tp)                              # [TP,H]
     wx, _ = _weights(u, w, tp)                              # [TP,W]
+    # bf16 images: bf16xbf16 dots run in one MXU pass (f32 needs 3);
+    # accumulation stays f32. Tent weights are exact in bf16 only up to
+    # 8 mantissa bits — acceptable in bf16 compute mode.
+    wy = wy.astype(img.dtype)
     outs = []
     for ci in range(c):
         tmp = jnp.dot(wy, img[ci],

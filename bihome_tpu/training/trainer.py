@@ -92,10 +92,9 @@ def make_multi_train_step(built: BuiltModel, tx, schedule,
     """lax.scan over ``num_steps`` train steps in ONE dispatch.
 
     The single-step path is host-bound on slow hosts: enqueueing the large
-    state pytree costs more than the ~20ms of device compute. Scanning K
-    steps per call amortizes dispatch K-fold. images: [K,B,H,W,3] (or
-    [B,...] images reused K times when reuse_images=True callers pass a
-    single batch). Returns (state, metrics of the last step).
+    state pytree costs more than the device compute of one step. Scanning
+    K steps per call amortizes dispatch K-fold. images: [K,B,H,W,3].
+    Returns (state, metrics of the last step).
     """
     step = make_train_step(built, tx, schedule)
 
@@ -133,9 +132,11 @@ def make_pool_train_step(built: BuiltModel, tx, schedule, num_steps: int,
     def pool_step(state: TrainState, pool: jax.Array, rng: jax.Array):
         def body(carry, _):
             st = carry
-            idx = jax.random.randint(
-                jax.random.fold_in(rng, st.step), (batch_size,), 0,
-                pool.shape[0])
+            # Distinct stream from the datagen key (which is
+            # fold_in(rng, step) inside the train step).
+            idx_key = jax.random.fold_in(jax.random.fold_in(rng, 1), st.step)
+            idx = jax.random.randint(idx_key, (batch_size,), 0,
+                                     pool.shape[0])
             images = jnp.take(pool, idx, axis=0)
             st, metrics = step(st, images, rng)
             return st, metrics
@@ -155,7 +156,8 @@ def make_pool_eval_step(built: BuiltModel, num_steps: int,
     def pool_eval(state: TrainState, pool: jax.Array, rng: jax.Array):
         def body(i, _):
             key = jax.random.fold_in(rng, i)
-            idx = jax.random.randint(key, (batch_size,), 0, pool.shape[0])
+            idx = jax.random.randint(jax.random.fold_in(key, 1),
+                                     (batch_size,), 0, pool.shape[0])
             images = jnp.take(pool, idx, axis=0)
             return i + 1, step(state, images, key)
 
