@@ -35,10 +35,15 @@ def sample_hypotheses(points1: Array, points2: Array, key: Array,
     b, n_points, _ = points1.shape
     shape = (b, hypothesis_no * points_per_hypothesis)
     if point_sampling == 'reference-weighted':
-        # P(i) ∝ i; index 0 never drawn. categorical over log-weights.
-        logits = jnp.log(jnp.arange(1, n_points, dtype=jnp.float32))
-        idx = 1 + jax.random.categorical(
-            key, logits[None, :], shape=(shape[1], b)).T   # [B, n*pph]
+        # P(i) ∝ i for i in [1, N-1]; index 0 never drawn (the reference's
+        # torch.multinomial(arange(N)) quirk). The CDF is analytic —
+        # F(k) = k(k+1)/(N-1)N — so exact inverse-CDF sampling replaces
+        # jax.random.categorical over 16k lanes (profiled ~6ms/step).
+        total = float((n_points - 1) * n_points)
+        u = jax.random.uniform(key, shape, dtype=jnp.float32)
+        # smallest k with k(k+1) >= u·(N-1)N  ->  k = ceil((-1+sqrt(1+4uT))/2)
+        k = jnp.ceil((jnp.sqrt(1.0 + 4.0 * u * total) - 1.0) / 2.0)
+        idx = jnp.clip(k.astype(jnp.int32), 1, n_points - 1)
     elif point_sampling == 'uniform':
         idx = jax.random.randint(key, shape, 0, n_points)
     else:

@@ -303,3 +303,23 @@ class TestPerceptualHead:
         good = loss_with(batch['delta'], delta_21_true)
         bad = loss_with(batch['delta'] + 10.0, delta_21_true - 10.0)
         assert good < bad, (good, bad)
+
+
+def test_dsac_reference_weighted_sampling_distribution():
+    # Exact inverse-CDF sampling of P(i) ∝ i must match the analytic CDF.
+    from bihome_tpu.heads import dsac as dsac_lib
+    import jax
+    n = 256
+    pts = jnp.zeros((1, n, 2))
+    # sample many indices via the internal path
+    key = jax.random.PRNGKey(0)
+    total = float((n - 1) * n)
+    u = jax.random.uniform(key, (1, 200000), dtype=jnp.float32)
+    k = jnp.ceil((jnp.sqrt(1.0 + 4.0 * u * total) - 1.0) / 2.0)
+    idx = np.asarray(jnp.clip(k.astype(jnp.int32), 1, n - 1)).ravel()
+    assert idx.min() >= 1 and idx.max() <= n - 1
+    # Empirical CDF vs analytic F(k) = k(k+1)/((n-1)n)
+    for q in (64, 128, 192):
+        emp = (idx <= q).mean()
+        ana = q * (q + 1) / ((n - 1) * n)
+        assert abs(emp - ana) < 0.01, (q, emp, ana)
