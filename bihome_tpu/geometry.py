@@ -276,6 +276,7 @@ def tent_sample(image: Array, x: Array, y: Array) -> Array:
                       preferred_element_type=jnp.float32)
 
 
+
 def _use_tent() -> bool:
     """Fused Pallas tent sampling on TPU; gather on CPU/GPU (where gather is
     fast and the tent redundancy is a net loss)."""
