@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bihome_tpu import config as config_lib
-from bihome_tpu.data import synthetic
+from bihome_tpu.data import pipeline, synthetic
 from bihome_tpu.parallel import mesh as mesh_lib
 from bihome_tpu.training import trainer as trainer_lib
 from bihome_tpu.training import train_state as ts_lib
@@ -88,7 +88,7 @@ def main():
         def body(st, k):
             idx_key = jax.random.fold_in(jax.random.fold_in(rng, 1), st.step)
             idx = jax.random.randint(idx_key, (batch,), 0, pool.shape[0])
-            images = jnp.take(pool, idx, axis=0)
+            images = pipeline.take_images(pool, idx)
             return raw_step(st, images, rng)[0], ()
 
         state, _ = jax.lax.scan(body, state, jnp.arange(unroll))

@@ -260,6 +260,25 @@ def generate_pairs_deterministic(
     return batch
 
 
+def take_images(pool: Array, idx: Array) -> Array:
+    """Gather ``pool[idx]`` as a one-hot MXU contraction.
+
+    A row gather of [N,H,W,3] uint8 images scalarizes on TPU (profiled at
+    ~6 ms/step for 64x230KB rows — 13% of a zeng-bihome step); the one-hot
+    matmul reads the pool once through the MXU instead. Exact: uint8 values
+    (0..255) are representable in bf16 (8 significand bits) and each output
+    element sums exactly one nonzero product.
+    """
+    if jax.default_backend() != 'tpu':
+        return jnp.take(pool, idx, axis=0)
+    n = pool.shape[0]
+    oh = jax.nn.one_hot(idx, n, dtype=jnp.bfloat16)            # [B,N]
+    flat = pool.reshape(n, -1)
+    out = jnp.dot(oh, flat.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    return out.astype(pool.dtype).reshape((idx.shape[0],) + pool.shape[1:])
+
+
 def generate_pairs(images: Array, key: Array,
                    spec: PairSpec) -> Dict[str, Array]:
     """Full randomized datagen: uint8/float images [B,H,W,3] + key -> batch.

@@ -392,6 +392,24 @@ def homography_grid(homography: Array, target_hw: Tuple[int, int],
     return mapped[:, 0] / denom, mapped[:, 1] / denom
 
 
+def ones_warp_mask(u: Array, v: Array, source_hw: Tuple[int, int]) -> Array:
+    """Closed form of warping an all-ones image: the bilinear support mask.
+
+    warp(ones)(p) = Σ_h tent(v_p-h) · Σ_w tent(u_p-w), and each axis sum has
+    the closed form clip(min(t+1, S-1-t+1), 0, 1): exactly 1 in the interior,
+    a linear ramp over the 1px boundary band, 0 outside. Identical numerics
+    to sampling a ones-channel at ~5 VPU ops/point instead of a full warp
+    channel — halves the biHomE loss-warp cost for the shipped (mask-less)
+    configs (ref masks default to ones: PerceptualHead.py:334-340).
+
+    u, v: [B, P] source coords -> [B, P] mask.
+    """
+    sh, sw = source_hw
+    gu = jnp.clip(jnp.minimum(u + 1.0, sw - u), 0.0, 1.0)
+    gv = jnp.clip(jnp.minimum(v + 1.0, sh - v), 0.0, 1.0)
+    return gu * gv
+
+
 def warp_image(image: Array, homography: Array,
                target_hw: Optional[Tuple[int, int]] = None,
                inverse: bool = True) -> Array:

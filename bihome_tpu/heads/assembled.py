@@ -110,6 +110,23 @@ class AssembledModel(nn.Module):
         warped = geometry.warp_image(image, homography)
         return warped, homography
 
+    @staticmethod
+    def _warp_with_support(image: Array, delta_hat: Array
+                           ) -> Tuple[Array, Array, Array]:
+        """Like :meth:`_warp` but also returns warp(ones) — the bilinear
+        support mask — in closed form instead of as an extra warp channel
+        (the reference's default all-ones masks, PerceptualHead.py:334-340,
+        make the warped mask analytically computable; halves the loss-warp
+        bandwidth for mask-less configs)."""
+        b, h, w = image.shape[0], image.shape[1], image.shape[2]
+        corners = geometry.image_corners(h, w, batch_size=b,
+                                         dtype=jnp.float32)
+        homography = geometry.four_point_to_homography(corners, delta_hat)
+        u, v = geometry.homography_grid(homography, (h, w))
+        warped = geometry.batched_sample(image, u, v).reshape(image.shape)
+        mask = geometry.ones_warp_mask(u, v, (h, w)).reshape(b, h, w, 1)
+        return warped, mask, homography
+
     def _maybe_upsample(self, x: Array) -> Array:
         strategy = self.head.sampling_strategy
         if strategy == 'upsample-patch-4x':
@@ -422,8 +439,28 @@ class AssembledModel(nn.Module):
         patch_2 = patch_2.astype(self.dtype)
         patch_1_m = patch_1_m.astype(self.dtype)
         patch_2_m = patch_2_m.astype(self.dtype)
-        pm1 = jnp.concatenate([patch_1, patch_1_m], axis=-1)   # [B*n,i,i,2]
-        if doubleline:
+        if not cfg.mask_keys:
+            # Mask-less configs (all shipped *-bihome configs): the warped
+            # mask is warp(ones) — computed in closed form, so only the
+            # patch channel is sampled.
+            if doubleline:
+                delta_21 = delta_hats_21.reshape(b * n, 4, 2)
+                warped, wmask, h12 = self._warp_with_support(
+                    jnp.concatenate([patch_1, patch_2], axis=0),
+                    jnp.concatenate([delta_12, delta_21], axis=0))
+                wmask = wmask.astype(self.dtype)
+                h1, h2 = h12[:b * n], h12[b * n:]
+                patch_1_prime = warped[:b * n]
+                patch_1_m_prime = wmask[:b * n]
+                patch_2_prime = warped[b * n:]
+                patch_2_m_prime = wmask[b * n:]
+            else:
+                warped, wmask, h1 = self._warp_with_support(patch_1,
+                                                            delta_12)
+                patch_1_prime = warped
+                patch_1_m_prime = wmask.astype(self.dtype)
+        elif doubleline:
+            pm1 = jnp.concatenate([patch_1, patch_1_m], axis=-1)
             delta_21 = delta_hats_21.reshape(b * n, 4, 2)
             pm2 = jnp.concatenate([patch_2, patch_2_m], axis=-1)
             warped, h12 = self._warp(jnp.concatenate([pm1, pm2], axis=0),
@@ -435,20 +472,33 @@ class AssembledModel(nn.Module):
             patch_2_prime = warped[b * n:, ..., :1]
             patch_2_m_prime = warped[b * n:, ..., 1:]
         else:
+            pm1 = jnp.concatenate([patch_1, patch_1_m], axis=-1)
             warped, h1 = self._warp(pm1, delta_12)
             patch_1_prime = warped[..., :1]
             patch_1_m_prime = warped[..., 1:]
 
-        # ---- ONE stacked frozen-extractor pass (TPU win). ----
-        inputs = [patch_1, patch_2, patch_1_prime]
+        # ---- Stacked frozen-extractor passes (TPU win: ref does 4
+        # sequential passes, PerceptualHead.py:352-398). Two stacked passes,
+        # split by differentiability: patch_1/patch_2 are DATA (no gradient
+        # path — deltas only enter through the warps), so their pass runs
+        # under stop_gradient and XLA emits no backward for it; only the
+        # warped half pays input-grad convs. Same math, ~half the extractor
+        # backward.
+        plain = jnp.concatenate([self._maybe_upsample(patch_1),
+                                 self._maybe_upsample(patch_2)], axis=0)
+        feats_plain = self._aux_features(jax.lax.stop_gradient(plain),
+                                         train=train)
+        patch_1_f, patch_2_f = jnp.split(feats_plain, 2, axis=0)
         if doubleline:
-            inputs.append(patch_2_prime)
-        stacked = jnp.concatenate([self._maybe_upsample(x) for x in inputs],
-                                  axis=0)
-        feats = self._aux_features(stacked, train=train)
-        parts = jnp.split(feats, len(inputs), axis=0)
-        patch_1_f, patch_2_f, patch_1_f_prime = parts[:3]
-        patch_2_f_prime = parts[3] if doubleline else None
+            warped_in = jnp.concatenate(
+                [self._maybe_upsample(patch_1_prime),
+                 self._maybe_upsample(patch_2_prime)], axis=0)
+            feats_w = self._aux_features(warped_in, train=train)
+            patch_1_f_prime, patch_2_f_prime = jnp.split(feats_w, 2, axis=0)
+        else:
+            patch_1_f_prime = self._aux_features(
+                self._maybe_upsample(patch_1_prime), train=train)
+            patch_2_f_prime = None
 
         f_h = patch_1_f_prime.shape[1]
         # Mask downsampling to feature resolution (always on, mirroring the

@@ -13,8 +13,10 @@ twice the batch — same math, half the kernel launches.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -22,6 +24,80 @@ from bihome_tpu.models import blocks
 from bihome_tpu.models.resnet import ResNet, conv_init
 
 Array = Any
+
+
+class PFHead(nn.Module):
+    """Stage-8 perspective-field head: 1x1 conv -> BN -> ReLU -> 1x1 conv
+    (ref: src/backbones/Rethinking.py:140-149).
+
+    On TPU this runs as ONE fused Pallas kernel (ops/fused_head.py) — the
+    plain composition materializes the [B,H,W,mid] activation at full patch
+    resolution in HBM three times per step (~7 ms/step at batch 64,
+    bandwidth-bound). The reference composition below shares the same
+    parameters and is used on other backends / with BIHOME_PF_HEAD=ref.
+    """
+    mid: int
+    out: int = 2
+    dtype: Any = jnp.float32
+    momentum: float = 0.9
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        cin = x.shape[-1]
+        w1 = self.param('conv1_kernel', conv_init, (1, 1, cin, self.mid),
+                        jnp.float32)
+        b1 = self.param('conv1_bias', nn.initializers.zeros, (self.mid,),
+                        jnp.float32)
+        scale = self.param('bn_scale', nn.initializers.ones, (self.mid,),
+                           jnp.float32)
+        bias = self.param('bn_bias', nn.initializers.zeros, (self.mid,),
+                          jnp.float32)
+        w2 = self.param('conv2_kernel', conv_init, (1, 1, self.mid,
+                                                    self.out), jnp.float32)
+        b2 = self.param('conv2_bias', nn.initializers.zeros, (self.out,),
+                        jnp.float32)
+        ra_mean = self.variable('batch_stats', 'bn_mean',
+                                lambda: jnp.zeros((self.mid,), jnp.float32))
+        ra_var = self.variable('batch_stats', 'bn_var',
+                               lambda: jnp.ones((self.mid,), jnp.float32))
+
+        use_fused = (jax.default_backend() == 'tpu'
+                     and os.environ.get('BIHOME_PF_HEAD', 'fused') == 'fused'
+                     and (x.shape[0] * x.shape[1] * x.shape[2]) % 128 == 0)
+        if use_fused:
+            from bihome_tpu.ops import fused_head
+            y, mu, var = fused_head.fused_pf_head(
+                x.astype(self.dtype), w1, b1, scale, bias, w2, b2,
+                ra_mean.value, ra_var.value, train=train, eps=self.eps)
+        else:
+            xc = x.astype(self.dtype)
+            mid = jax.lax.dot_general(
+                xc, w1.reshape(cin, self.mid).astype(self.dtype),
+                (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if train:
+                mu = jnp.mean(mid.reshape(-1, self.mid), axis=0) + b1
+                var = jnp.maximum(
+                    jnp.mean(jnp.square(mid.reshape(-1, self.mid)
+                                        + b1), axis=0) - mu * mu, 0.0)
+            else:
+                mu, var = ra_mean.value, ra_var.value
+            inv = jax.lax.rsqrt(var + self.eps)
+            a = ((mid + b1 - mu) * inv * scale + bias).astype(self.dtype)
+            r = nn.relu(a)
+            y = jax.lax.dot_general(
+                r, w2.reshape(self.mid, self.out).astype(self.dtype),
+                (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(self.dtype) + \
+                b2.astype(self.dtype)
+
+        if train and not self.is_initializing():
+            ra_mean.value = (self.momentum * ra_mean.value
+                             + (1.0 - self.momentum) * mu)
+            ra_var.value = (self.momentum * ra_var.value
+                            + (1.0 - self.momentum) * var)
+        return y.astype(self.dtype)
 
 
 def _bn(train: bool, dtype, name: str):
@@ -151,12 +227,8 @@ class RethinkingBackbone(nn.Module):
             head_mid = 128
 
         # Stage 8: 1x1 head -> 2-channel PF (ref: Rethinking.py:140-149).
-        x = nn.Conv(head_mid, (1, 1), use_bias=True, dtype=dt,
-                    name='layer8_conv1')(x)
-        x = _bn(train, dt, 'layer8_bn')(x)
-        x = nn.relu(x)
-        x = nn.Conv(2, (1, 1), use_bias=True, dtype=dt, name='layer8_conv2')(x)
-        return x
+        # Fused Pallas kernel on TPU; see PFHead.
+        return PFHead(mid=head_mid, out=2, dtype=dt, name='layer8')(x, train)
 
 
 class MaskPredictor(nn.Module):

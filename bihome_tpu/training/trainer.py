@@ -60,6 +60,17 @@ def make_train_step(built: BuiltModel, tx,
         batch = pipeline.generate_pairs(images, gen_key, spec)
 
         def loss_fn(params):
+            # Frozen subtrees (the biHomE aux extractor,
+            # ref: PerceptualHead.py:35-39 requires_grad=False) are cut out
+            # of the autodiff graph here, not just zeroed by the optimizer:
+            # otherwise XLA runs their full weight-grad convs every step
+            # (profiled ~2 ms/step on zeng-bihome) for grads that
+            # optax.set_to_zero() immediately discards. Input-gradients
+            # still flow through the frozen ops (the loss needs
+            # d f(warp(p))/d delta), only the parameter cotangents die.
+            params = {k: (jax.lax.stop_gradient(v)
+                          if k.startswith('auxiliary_resnet') else v)
+                      for k, v in params.items()}
             variables = {'params': params, 'batch_stats': state.batch_stats}
             rngs = {'dsac': dsac_key} if needs_dsac else None
             out, mutated = model.apply(variables, batch, train=True,
@@ -137,7 +148,7 @@ def make_pool_train_step(built: BuiltModel, tx, schedule, num_steps: int,
             idx_key = jax.random.fold_in(jax.random.fold_in(rng, 1), st.step)
             idx = jax.random.randint(idx_key, (batch_size,), 0,
                                      pool.shape[0])
-            images = jnp.take(pool, idx, axis=0)
+            images = pipeline.take_images(pool, idx)
             st, metrics = step(st, images, rng)
             return st, metrics
 
@@ -158,7 +169,7 @@ def make_pool_eval_step(built: BuiltModel, num_steps: int,
             key = jax.random.fold_in(rng, i)
             idx = jax.random.randint(jax.random.fold_in(key, 1),
                                      (batch_size,), 0, pool.shape[0])
-            images = jnp.take(pool, idx, axis=0)
+            images = pipeline.take_images(pool, idx)
             return i + 1, step(state, images, key)
 
         _, metrics = jax.lax.scan(body, 0, None, length=num_steps)

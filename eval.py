@@ -131,7 +131,7 @@ def main(args):
         key = jax.random.fold_in(jax.random.PRNGKey(test_seed), it)
         idx = jax.random.randint(jax.random.fold_in(key, 1), (batch_size,),
                                  0, pool.shape[0])
-        batch = pipeline.generate_pairs(jnp.take(pool, idx, axis=0),
+        batch = pipeline.generate_pairs(pipeline.take_images(pool, idx),
                                         key, spec)
         delta_hat, _ = trainer_lib.make_predict_step(built)(
             state, batch, jax.random.fold_in(
@@ -164,7 +164,7 @@ def main(args):
             key = jax.random.fold_in(jax.random.PRNGKey(test_seed), it)
             idx = jax.random.randint(jax.random.fold_in(key, 1),
                                      (batch_size,), 0, pool.shape[0])
-            batch = gen(jnp.take(pool, idx, axis=0), key, spec)
+            batch = gen(pipeline.take_images(pool, idx), key, spec)
             delta_hat, _ = predict(state, batch, jax.random.fold_in(
                 jax.random.PRNGKey(test_seed + 1), it))
             save_visualization('vis_out', it, batch,
