@@ -1,22 +1,23 @@
 #!/usr/bin/env python3
 """Benchmark: training throughput (pairs/sec/chip) on TPU.
 
-Runs a tracked config's fused train step (on-device datagen + forward +
+Runs tracked configs' fused train step (on-device datagen + forward +
 loss + backward + Adam) on synthetic 320x240 source images and reports
 sustained throughput against the BASELINE.json target of 10,000 128x128
 image-pairs/sec/chip on TPU v5e.
 
-Headline default: detone-orig (DeTone supervised, a BASELINE-tracked
-config) at batch 128 — the fastest faithful configuration. The flagship
-zeng-biHomE is architecture-bound at ~6.6k pairs/s even at 100% MXU
-utilization (roofline in BENCH_NOTES.md); select it with
-BENCH_CONFIG=config/pds-coco/zeng-bihome-lr-1e-3.yaml BENCH_BATCH=64.
+By default BOTH tracked configs run every time: the flagship zeng-biHomE
+(Rethinking DoubleLine + DSAC + biHomE, batch 64) first, then the headline
+detone-orig (DeTone supervised, batch 128) LAST — the driver parses the
+final JSON line, and the zeng line stays visible in the tail so flagship
+regressions are driver-visible (round-1 review asked for exactly this).
 
-Prints ONE JSON line:
+Prints one JSON line per config; the last line is the headline:
   {"metric": ..., "value": N, "unit": "pairs/s/chip", "vs_baseline": N/10000}
 
-Env knobs: BENCH_CONFIG, BENCH_BATCH, BENCH_STEPS (timed dispatches),
-BENCH_UNROLL (steps per dispatch), BENCH_DTYPE, BENCH_SEED.
+Env knobs: BENCH_CONFIG (run only that config), BENCH_BATCH, BENCH_STEPS
+(timed dispatches), BENCH_UNROLL (steps per dispatch), BENCH_DTYPE,
+BENCH_SEED.
 """
 
 import json
@@ -44,18 +45,9 @@ from bihome_tpu.training import train_state as ts_lib
 BASELINE_PAIRS_PER_SEC_PER_CHIP = 10_000.0
 
 
-def main():
-    batch = int(os.environ.get('BENCH_BATCH', '128'))
-    steps = int(os.environ.get('BENCH_STEPS', '10'))
-    config_path = os.environ.get(
-        'BENCH_CONFIG', 'config/pds-coco/detone-orig-lr-5e-3.yaml')
-
+def bench_config(config_path: str, batch: int, steps: int, unroll: int,
+                 dtype, seed: int) -> dict:
     config = config_lib.load_config(config_path)
-    # Throughput runs use bf16 compute by default (params stay f32);
-    # BENCH_DTYPE=float32 for full-precision benching.
-    import jax.numpy as _jnp
-    dtype = {'bfloat16': _jnp.bfloat16, 'float32': _jnp.float32}[
-        os.environ.get('BENCH_DTYPE', 'bfloat16')]
     built = config_lib.build_model(config, dtype=dtype)
     tx, schedule = ts_lib.make_optimizer(**config_lib.solver_kwargs(config))
 
@@ -68,8 +60,6 @@ def main():
     # Pool seed is randomized per run: the TPU runtime memoizes identical
     # executions ACROSS PROCESSES, so a repeated bench with identical data
     # would replay cached results at fake speed (BENCH_SEED pins it).
-    seed = int(os.environ.get('BENCH_SEED',
-                              str(int.from_bytes(os.urandom(2), 'big'))))
     pool = jnp.asarray(synthetic.make_image_pool(max(batch, 64), 240, 320,
                                                  seed=seed))
     pool = jax.device_put(pool, mesh_lib.replicated_sharding(mesh))
@@ -81,7 +71,6 @@ def main():
 
     # K steps per dispatch: amortizes host enqueue of the state pytree
     # (the single-step path is host-bound on slow hosts).
-    unroll = int(os.environ.get('BENCH_UNROLL', '10'))
     raw_step = trainer_lib.make_train_step(built, tx, schedule)
 
     def bench_block(state, pool, rng):
@@ -110,13 +99,37 @@ def main():
 
     pairs_per_sec_per_chip = batch * steps * unroll / elapsed / num_chips
     run_name = os.path.basename(config_path).rsplit('.', 1)[0]
-    print(json.dumps({
+    return {
         'metric': f'{run_name}_train_throughput',
         'value': round(pairs_per_sec_per_chip, 2),
         'unit': 'pairs/s/chip',
         'vs_baseline': round(
             pairs_per_sec_per_chip / BASELINE_PAIRS_PER_SEC_PER_CHIP, 4),
-    }))
+    }
+
+
+def main():
+    steps = int(os.environ.get('BENCH_STEPS', '10'))
+    unroll = int(os.environ.get('BENCH_UNROLL', '10'))
+    dtype = {'bfloat16': jnp.bfloat16, 'float32': jnp.float32}[
+        os.environ.get('BENCH_DTYPE', 'bfloat16')]
+    seed = int(os.environ.get('BENCH_SEED',
+                              str(int.from_bytes(os.urandom(2), 'big'))))
+
+    if os.environ.get('BENCH_CONFIG'):
+        runs = [(os.environ['BENCH_CONFIG'],
+                 int(os.environ.get('BENCH_BATCH', '128')))]
+    else:
+        runs = [
+            ('config/pds-coco/zeng-bihome-lr-1e-3.yaml',
+             int(os.environ.get('BENCH_BATCH', '64'))),
+            # Headline LAST: the driver parses the final line.
+            ('config/pds-coco/detone-orig-lr-5e-3.yaml',
+             int(os.environ.get('BENCH_BATCH', '128'))),
+        ]
+    for config_path, batch in runs:
+        print(json.dumps(bench_config(config_path, batch, steps, unroll,
+                                      dtype, seed)), flush=True)
     return 0
 
 

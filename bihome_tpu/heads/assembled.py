@@ -85,11 +85,17 @@ class AssembledModel(nn.Module):
     # ------------------------------------------------------------------ #
 
     def _aux_features(self, x: Array, train: bool) -> Array:
-        """Frozen-extractor features: grayscale->3ch repeat, truncated
-        resnet, optional projection head (ref: PerceptualHead.py:50-76)."""
+        """Frozen-extractor features: truncated resnet, optional projection
+        head (ref: PerceptualHead.py:50-76).
+
+        The reference repeats grayscale to 3 channels to reuse the ImageNet
+        stem (PerceptualHead.py:56-60); since the three channels are
+        identical, conv1(repeat(x)) == conv1'(x) with the kernel summed over
+        input channels — so grayscale input feeds a 1-channel stem directly
+        (the torch importer sums the ImageNet conv1 kernel accordingly,
+        torch_port.port_torchvision_resnet(sum_rgb_stem=True)). Exact same
+        math, a third of the stem FLOPs, no [4B,H,W,3] materialization."""
         cfg = self.head
-        if x.shape[-1] == 1:
-            x = jnp.repeat(x, 3, axis=-1)
         bn_train = train and cfg.auxiliary_resnet_bn_train
         f = self.auxiliary_resnet(x, train=bn_train)
         if cfg.with_projection_head:

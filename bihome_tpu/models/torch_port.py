@@ -57,13 +57,20 @@ def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray) -> None:
 def port_torchvision_resnet(
         state_dict: Dict[str, np.ndarray],
         num_input_channels: Optional[int] = None,
-        include_fc: bool = True) -> Dict[str, Dict]:
+        include_fc: bool = True,
+        sum_rgb_stem: bool = False) -> Dict[str, Dict]:
     """Convert a torchvision resnet state_dict to
     {'params': ..., 'batch_stats': ...} for models.resnet.ResNet.
 
     ``num_input_channels``: if set and != 3, the stem conv weights are
     dropped (the reference replaces conv1 with a fresh 2-channel conv,
     ref: src/backbones/ResNet34.py:17).
+
+    ``sum_rgb_stem``: sum the ImageNet conv1 kernel over its RGB input
+    channels -> a 1-channel stem. Exactly equivalent to the reference's
+    grayscale->3ch repeat (PerceptualHead.py:56-60) since
+    conv(repeat(x, 3), w) == conv(x, w.sum(in_ch)); used for the frozen
+    biHomE aux extractor so the stem runs at a third of the FLOPs.
     """
     params: Dict = {}
     stats: Dict = {}
@@ -72,9 +79,12 @@ def port_torchvision_resnet(
             continue
         parts = key.split('.')
         if parts[0] == 'conv1':
-            if num_input_channels not in (None, 3):
+            if num_input_channels not in (None, 3) and not sum_rgb_stem:
                 continue
-            _set(params, ('conv1', 'kernel'), conv_kernel(val))
+            kern = conv_kernel(val)
+            if sum_rgb_stem:
+                kern = kern.sum(axis=2, keepdims=True)
+            _set(params, ('conv1', 'kernel'), kern)
         elif parts[0] == 'bn1':
             _port_bn(params, stats, ('bn1',), parts[1], val)
         elif parts[0] == 'fc':

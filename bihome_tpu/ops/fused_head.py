@@ -98,29 +98,28 @@ def _fwd_kernel(x_ref, g1t_ref, c1_ref, w2_ref, b2_ref, out_ref):
     out_ref[...] = out + b2_ref[...]
 
 
-def _bwd_c_kernel_impl(x_ref, g_ref, w1t_ref, b1_ref, mu_ref, is_ref,
-                       gamma_ref, beta_ref, w2_ref, sums_ref, dw2_ref,
-                       db2_ref):
-    """Pass C: accumulate sum(da), sum(da*n) [Cmid,1], dw2 [Cmid,Cout],
-    db2 [Cout,1] while recomputing mid/n/a from x."""
+def _bwd_c_kernel_impl(x_ref, g_ref, w1t_ref, gis_ref, c1_ref, w2_ref,
+                       sums_ref, dw2_ref, db2_ref):
+    """Pass C: accumulate sum(da), sum(da*mid') [Cmid,2], dw2 [Cmid,Cout],
+    db2 [Cout,1] while recomputing mid' = w1t @ x (bias-less pre-BN) and
+    a = gis*mid' + c1. sum(da*n) is recovered on the XLA side as
+    is*sum(da*mid') + is*(b1-mu)*sum(da) — no division by gamma, so the
+    formulation stays exact even at gamma ~ 0."""
     x = x_ref[...]
     g = g_ref[...].astype(jnp.float32)                         # [Cout, TP]
     mid = jax.lax.dot_general(w1t_ref[...].astype(x.dtype), x,
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    mid = mid + b1_ref[...]
-    n = (mid - mu_ref[...]) * is_ref[...]                      # [Cmid, TP]
-    a = gamma_ref[...] * n + beta_ref[...]
-    mask = a > 0.0
+    a = gis_ref[...] * mid + c1_ref[...]
     r = jnp.maximum(a, 0.0)
-    # da = (w2 @ g) * mask; Cout is tiny -> broadcast-mult instead of a
+    # da = (w2 @ g) * (a > 0); Cout is tiny -> broadcast-mult instead of a
     # K=Cout MXU dot.
     w2 = w2_ref[...]                                           # [Cmid, Cout]
     cout = w2.shape[1]
-    da = jnp.zeros_like(mid)
+    da = jnp.zeros_like(a)
     for co in range(cout):
         da = da + w2[:, co:co + 1] * g[co:co + 1, :]
-    da = jnp.where(mask, da, 0.0)
+    da = jnp.where(a > 0.0, da, 0.0)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -130,7 +129,7 @@ def _bwd_c_kernel_impl(x_ref, g_ref, w1t_ref, b1_ref, mu_ref, is_ref,
 
     sums = jnp.concatenate(
         [jnp.sum(da, axis=1, keepdims=True),
-         jnp.sum(da * n, axis=1, keepdims=True)], axis=1)      # [Cmid, 2]
+         jnp.sum(da * mid, axis=1, keepdims=True)], axis=1)    # [Cmid, 2]
     sums_ref[...] += sums
     dw2_ref[...] += jax.lax.dot_general(
         r.astype(x.dtype), g.astype(x.dtype), (((1,), (1,)), ((), ())),
@@ -138,30 +137,24 @@ def _bwd_c_kernel_impl(x_ref, g_ref, w1t_ref, b1_ref, mu_ref, is_ref,
     db2_ref[...] += jnp.sum(g, axis=1, keepdims=True)          # [Cout, 1]
 
 
-def _bwd_d_kernel(x_ref, g_ref, w1t_ref, b1_ref, mu_ref, is_ref, gamma_ref,
-                  beta_ref, w2_ref, mda_ref, mdan_ref, w1_ref,
-                  dx_ref, dw1_ref, db1_ref, *, train_stats: bool):
-    """Pass D: dmid -> dx (written per tile), dw1/db1 accumulated."""
+def _bwd_d_kernel(x_ref, g_ref, w1t_ref, gis_ref, c1_ref, w2_ref, k1_ref,
+                  k0_ref, w1_ref, dx_ref, dw1_ref, db1_ref):
+    """Pass D: dmid = gis*da - k1*mid' + k0 -> dx (written per tile),
+    dw1/db1 accumulated. k1/k0 carry the batch-stat correction terms
+    (zero in eval mode)."""
     x = x_ref[...]
     g = g_ref[...].astype(jnp.float32)
     mid = jax.lax.dot_general(w1t_ref[...].astype(x.dtype), x,
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    mid = mid + b1_ref[...]
-    n = (mid - mu_ref[...]) * is_ref[...]
-    a = gamma_ref[...] * n + beta_ref[...]
-    mask = a > 0.0
+    a = gis_ref[...] * mid + c1_ref[...]
     w2 = w2_ref[...]
     cout = w2.shape[1]
-    da = jnp.zeros_like(mid)
+    da = jnp.zeros_like(a)
     for co in range(cout):
         da = da + w2[:, co:co + 1] * g[co:co + 1, :]
-    da = jnp.where(mask, da, 0.0)
-    gis = gamma_ref[...] * is_ref[...]
-    if train_stats:
-        dmid = gis * (da - mda_ref[...] - n * mdan_ref[...])
-    else:
-        dmid = gis * da
+    da = jnp.where(a > 0.0, da, 0.0)
+    dmid = gis_ref[...] * da - k1_ref[...] * mid + k0_ref[...]
     dmid_c = dmid.astype(x.dtype)
     dx_ref[...] = jax.lax.dot_general(
         w1_ref[...].astype(x.dtype), dmid_c, (((1,), (0,)), ((), ())),
@@ -218,9 +211,12 @@ def _run_bwd(xt, gt, w1, b1, gamma, beta, w2, mu, var, eps, train_stats):
     tp = min(_tp_for(cmid), m)
     nb = m // tp
     inv_s = jax.lax.rsqrt(var + eps)
+    gis = gamma * inv_s
+    cn = inv_s * (b1 - mu)
+    c1 = gamma * cn + beta
     w1t = w1.T.astype(jnp.float32)                             # [Cmid, Cin]
-    args = (xt, gt, w1t.astype(xt.dtype), _col(b1), _col(mu), _col(inv_s),
-            _col(gamma), _col(beta), w2.astype(jnp.float32))
+    args = (xt, gt, w1t.astype(xt.dtype), _col(gis), _col(c1),
+            w2.astype(jnp.float32))
     const_in = [_const_spec(s.shape) for s in args[2:]]
     x_spec = pl.BlockSpec((cin, tp), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
@@ -239,14 +235,16 @@ def _run_bwd(xt, gt, w1, b1, gamma, beta, w2, mu, var, eps, train_stats):
         interpret=_interpret(),
     )(*args)
 
+    sum_da = sums[:, 0]
+    sum_dan = inv_s * sums[:, 1] + cn * sum_da         # sum(da * n), exact
     if train_stats:
-        mda = _col(sums[:, 0] / m)
-        mdan = _col(sums[:, 1] / m)
+        k1 = _col(gis * inv_s * (sum_dan / m))
+        k0 = _col(-gis * (sum_da / m) - gis * (sum_dan / m) * cn)
     else:
-        mda = jnp.zeros((cmid, 1), jnp.float32)
-        mdan = jnp.zeros((cmid, 1), jnp.float32)
+        k1 = jnp.zeros((cmid, 1), jnp.float32)
+        k0 = jnp.zeros((cmid, 1), jnp.float32)
     dx, dw1, db1 = pl.pallas_call(
-        functools.partial(_bwd_d_kernel, train_stats=train_stats),
+        _bwd_d_kernel,
         grid=(nb,),
         in_specs=[x_spec, g_spec] + const_in + [
             _const_spec((cmid, 1)), _const_spec((cmid, 1)),
@@ -257,9 +255,9 @@ def _run_bwd(xt, gt, w1, b1, gamma, beta, w2, mu, var, eps, train_stats):
                    jax.ShapeDtypeStruct((cin, cmid), jnp.float32),
                    jax.ShapeDtypeStruct((cmid, 1), jnp.float32)),
         interpret=_interpret(),
-    )(*args, mda, mdan, w1.astype(jnp.float32))
+    )(*args, k1, k0, w1.astype(jnp.float32))
     # dgamma = sum(da*n), dbeta = sum(da)
-    return dx, dw1, db1[:, 0], sums[:, 1], sums[:, 0], dw2, db2[:, 0]
+    return dx, dw1, db1[:, 0], sum_dan, sum_da, dw2, db2[:, 0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))

@@ -264,7 +264,10 @@ def maybe_load_pretrained_resnets(built, variables, config):
     aux_path = head_cfg.get('AUXILIARY_RESNET_PATH')
     if aux_path and os.path.exists(aux_path):
         state = torch_port.load_torch_state_dict(aux_path)
-        ported = torch_port.port_torchvision_resnet(state, include_fc=False)
+        aux_c = variables['params']['auxiliary_resnet'][
+            'conv1']['kernel'].shape[2]
+        ported = torch_port.port_torchvision_resnet(
+            state, include_fc=False, sum_rgb_stem=(aux_c == 1))
         variables = torch_port.graft(variables, ported,
                                      ('auxiliary_resnet',))
         print(f'Auxiliary resnet weights loaded from {aux_path}')
