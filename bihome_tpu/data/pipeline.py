@@ -295,10 +295,63 @@ def generate_pairs(images: Array, key: Array,
     # (ref: src/data/transforms.py:538).
     delta = jax.random.randint(k_delta, (b, 4, 2), -spec.rho, spec.rho)
 
-    def distort(imgs, k):
+    batch = _assemble_pairs(images, corners, delta,
+                            jax.random.split(k_pd1, b),
+                            jax.random.split(k_pd2, b), spec)
+
+    if spec.blob_porosity > 0 and b > 1:
+        from bihome_tpu.data import blobs
+        k_blob = jax.random.fold_in(key, 7)
+        batch = blobs.apply_blob_augmentation(
+            batch, k_blob, porosity=spec.blob_porosity,
+            blobiness=spec.blobiness)
+    return batch
+
+
+def generate_pairs_per_sample(images: Array, keys: Array,
+                              spec: PairSpec) -> Dict[str, Array]:
+    """Like :func:`generate_pairs` but every sample's randomness derives
+    ONLY from its own key (``keys`` [B] stacked PRNG keys).
+
+    This makes pair synthesis invariant to how samples are grouped into
+    batches — the property the reference eval protocol gets from seeded
+    per-sample transforms (ref: eval.py:360, transforms.py:448-454) — so
+    eval MACE is identical at --batch_size 1 and 64 for a fixed seed.
+    """
+    images = images.astype(jnp.float32)
+    b, h, w, _ = images.shape
+    ps, rho = spec.patch_size, spec.rho
+    sub = jax.vmap(lambda k: jax.random.split(k, 4))(keys)     # [B,4,key]
+    k_pd1, k_pd2, k_pos, k_delta = (sub[:, i] for i in range(4))
+
+    if ps != w:
+        def pos(k):
+            kx, ky = jax.random.split(k)
+            px = jax.random.randint(kx, (), rho + ps // 2,
+                                    w - rho - ps // 2 + 1)
+            py = jax.random.randint(ky, (), rho + ps // 2,
+                                    h - rho - ps // 2 + 1)
+            return px, py
+        pos_x, pos_y = jax.vmap(pos)(k_pos)
+    else:
+        pos_x = jnp.full((b,), w // 2, jnp.int32)
+        pos_y = jnp.full((b,), h // 2, jnp.int32)
+    corners = _corners_from_position(pos_x, pos_y, ps)
+    delta = jax.vmap(
+        lambda k: jax.random.randint(k, (4, 2), -rho, rho))(k_delta)
+    return _assemble_pairs(images, corners, delta, k_pd1, k_pd2, spec)
+
+
+def _assemble_pairs(images: Array, corners: Array, delta: Array,
+                    pd1_keys: Array, pd2_keys: Array,
+                    spec: PairSpec) -> Dict[str, Array]:
+    """Shared post-randomness assembly: photometric distortion + patch
+    extraction/warp, window-first when no full images are emitted."""
+    b, h, w, _ = images.shape
+
+    def distort(imgs, keys):
         return jax.vmap(photometric.photometric_distort_simple,
-                        in_axes=(0, 0, None))(
-            imgs, jax.random.split(k, imgs.shape[0]), spec.max_delta)
+                        in_axes=(0, 0, None))(imgs, keys, spec.max_delta)
 
     pd1 = 'image_1' in spec.photometric_keys and spec.max_delta > 0
     pd2 = 'image_2' in spec.photometric_keys and spec.max_delta > 0
@@ -315,8 +368,8 @@ def generate_pairs(images: Array, key: Array,
         ox = jnp.clip(corners[:, 0, 0] - spec.rho, 0, w - ws_x)
         oy = jnp.clip(corners[:, 0, 1] - spec.rho, 0, h - ws_y)
         windows = geometry.crop_integer(images, ox, oy, (ws_y, ws_x))
-        win_1 = distort(windows, k_pd1) if pd1 else windows
-        win_2 = distort(windows, k_pd2) if pd2 else windows
+        win_1 = distort(windows, pd1_keys) if pd1 else windows
+        win_2 = distort(windows, pd2_keys) if pd2 else windows
         origin = jnp.stack([ox, oy], axis=-1)[:, None, :]      # [B,1,2]
         corners_local = (corners - origin).astype(jnp.float32)
         batch = generate_pairs_deterministic(
@@ -328,16 +381,9 @@ def generate_pairs(images: Array, key: Array,
         batch['homography'] = geometry.four_point_to_homography(
             batch['corners'], batch['delta'])
     else:
-        image_1 = distort(images, k_pd1) if pd1 else images
-        image_2 = distort(images, k_pd2) if pd2 else images
+        image_1 = distort(images, pd1_keys) if pd1 else images
+        image_2 = distort(images, pd2_keys) if pd2 else images
         batch = generate_pairs_deterministic(
             images, corners.astype(jnp.float32), delta.astype(jnp.float32),
             spec, image_1=image_1, image_2=image_2)
-
-    if spec.blob_porosity > 0 and b > 1:
-        from bihome_tpu.data import blobs
-        k_blob = jax.random.fold_in(key, 7)
-        batch = blobs.apply_blob_augmentation(
-            batch, k_blob, porosity=spec.blob_porosity,
-            blobiness=spec.blobiness)
     return batch

@@ -22,6 +22,12 @@ jax.config.update('jax_compilation_cache_dir',
                   os.environ['JAX_COMPILATION_CACHE_DIR'])
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
+# The axon TPU plugin registers itself regardless of JAX_PLATFORMS; honor
+# the env var explicitly so CPU-forced runs (tests, smoke) stay off the TPU.
+if os.environ.get('JAX_PLATFORMS'):
+    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+
+
 import jax.numpy as jnp
 
 from bihome_tpu import config as config_lib
@@ -103,7 +109,18 @@ def main(args):
     sample = np.stack([ds.load_image(0)] * batch_size)
     variables = trainer_lib.init_model(built, sample)
     state = ts_lib.create_train_state(variables, tx)
-    if args.ckpt:
+    if args.torch_ckpt:
+        from bihome_tpu.models import torch_port
+        data = torch_port.load_torch_state_dict(args.torch_ckpt,
+                                                full_checkpoint=True)
+        new_vars, step = torch_port.port_reference_checkpoint(
+            data, config, {'params': state.params,
+                           'batch_stats': state.batch_stats})
+        state = state.replace(params=new_vars['params'],
+                              batch_stats=new_vars['batch_stats'])
+        print(f'Loaded reference torch checkpoint step {step} '
+              f'from {args.torch_ckpt}')
+    elif args.ckpt:
         checkpointer = ckpt_lib.CheckPointer(args.ckpt)
         state, step = checkpointer.load(state)
         print(f'Loaded checkpoint step {step} from {args.ckpt}')
@@ -117,54 +134,88 @@ def main(args):
     predict = jax.jit(trainer_lib.make_predict_step(built))
     test_seed = sampler_cfg.get('TEST_SEED', 42)
 
-    # The whole evaluation runs as ONE scanned dispatch over a
-    # device-resident image pool: per-iteration dispatches cost seconds over
-    # the TPU tunnel (see BENCH_NOTES.md), which would make the reference
-    # protocol (2304 iterations at batch 1) take tens of minutes.
+    # Reference protocol (ref: eval.py:360,392-407): seeded epoch indices
+    # over the REAL test split (with replacement, DatasetSampler semantics),
+    # TEST_SAMPLES_PER_EPOCH samples, per-sample datagen keyed by sample
+    # ordinal — so MACE is identical for any --batch_size at a fixed seed.
+    # The whole evaluation still runs as scanned dispatches over a
+    # device-resident image array: per-iteration dispatches cost seconds
+    # over the TPU tunnel (see BENCH_NOTES.md), which would make 2304
+    # batch-1 iterations take tens of minutes.
     num_iters = test_samples // batch_size
-    pool_np = np.stack([ds.load_image(i % len(ds))
-                        for i in range(min(len(ds), 1024))])
-    pool = jnp.asarray(pool_np)
+    n_eval = num_iters * batch_size
+    indices = datasets.EpochSampler(len(ds), n_eval,
+                                    random_seed=test_seed).epoch_indices()
+    uniq, inv = np.unique(indices, return_inverse=True)
+    pool = jnp.asarray(np.stack([ds.load_image(int(i)) for i in uniq]))
+    sample_to_pool = jnp.asarray(inv.reshape(num_iters, batch_size))
     spec = built.test_pair_spec
+    base_key = jax.random.PRNGKey(test_seed)
 
-    def eval_one(state, pool, it):
-        key = jax.random.fold_in(jax.random.PRNGKey(test_seed), it)
-        idx = jax.random.randint(jax.random.fold_in(key, 1), (batch_size,),
-                                 0, pool.shape[0])
-        batch = pipeline.generate_pairs(pipeline.take_images(pool, idx),
-                                        key, spec)
-        delta_hat, _ = trainer_lib.make_predict_step(built)(
-            state, batch, jax.random.fold_in(
-                jax.random.PRNGKey(test_seed + 1), it))
-        diff = (batch['delta'].reshape(batch_size, -1, 2)
-                - delta_hat.reshape(batch_size, -1, 2))
-        mace = jnp.mean(jnp.linalg.norm(diff, axis=-1))
-        return mace
+    def gen_batch(pool, it):
+        ordinals = it * batch_size + jnp.arange(batch_size)
+        keys = jax.vmap(lambda o: jax.random.fold_in(base_key, o))(ordinals)
+        images = pipeline.take_images(pool, sample_to_pool[it])
+        return pipeline.generate_pairs_per_sample(images, keys, spec)
+
+    predict_fn = trainer_lib.make_predict_step(built)
 
     @jax.jit
-    def eval_all(state, pool, iter_offset):
-        return jax.lax.map(lambda i: eval_one(state, pool, i + iter_offset),
-                           jnp.arange(num_iters))
+    def eval_all(state, pool):
+        def one(it):
+            batch = gen_batch(pool, it)
+            delta_hat, _ = predict_fn(
+                state, batch, jax.random.fold_in(
+                    jax.random.PRNGKey(test_seed + 1), it))
+            diff = (batch['delta'].reshape(batch_size, -1, 2)
+                    - delta_hat.reshape(batch_size, -1, 2))
+            return jnp.mean(jnp.linalg.norm(diff, axis=-1), axis=-1)  # [B]
+        return jax.lax.map(one, jnp.arange(num_iters))
 
-    # MACE run (fixed TEST_SEED protocol), then a differently-offset run for
-    # timing — the TPU runtime memoizes identical executions, so re-running
-    # the same inputs reports ~0ms (see BENCH_NOTES.md).
-    maces = np.asarray(jax.block_until_ready(eval_all(state, pool, 0)))
+    @jax.jit
+    def datagen_all(pool):
+        def one(it):
+            batch = gen_batch(pool, it)
+            return {k: batch[k] for k in ('patch_1', 'patch_2', 'corners',
+                                          'delta')}
+        return jax.lax.map(one, jnp.arange(num_iters))
+
+    @jax.jit
+    def predict_timed(state, batches, salt):
+        """Predict-only loop over pre-generated batches ("Mean model time"
+        excludes data prep, ref: eval.py:83-112). ``salt`` chains a data
+        dependency so the memoizing TPU runtime can't replay a previous
+        run's result (see BENCH_NOTES.md)."""
+        def body(carry, batch):
+            batch = dict(batch)
+            batch['patch_1'] = batch['patch_1'] + carry * 1e-30
+            delta_hat, _ = predict_fn(state, batch,
+                                      jax.random.PRNGKey(test_seed + 1))
+            return jnp.sum(delta_hat) * 1e-30, delta_hat
+        _, out = jax.lax.scan(body, salt, batches)
+        return out
+
+    maces = np.asarray(jax.block_until_ready(
+        eval_all(state, pool))).reshape(-1)                    # per sample
+
+    # Timing: pre-generate all batches, then time predict only.
+    batches = jax.block_until_ready(datagen_all(pool))
+    predict_timed(state, batches, jnp.float32(0.0))            # warmup
     start = time.perf_counter()
-    jax.block_until_ready(eval_all(state, pool, 1_000_000))
+    jax.block_until_ready(predict_timed(state, batches, jnp.float32(1e-30)))
     per_batch_ms = (time.perf_counter() - start) / num_iters * 1000.0
 
     if args.log:
+        # Per-sample CSV "iter,mace" (ref: eval.py:136-138; iteration ==
+        # sample at the reference's default batch 1).
         with open(args.log, 'a') as f:
             for it, m in enumerate(maces):
                 f.write(f'{it},{float(m)}\n')
     if args.vis:
         # Recreate the first few batches eagerly for the visual dump.
+        gen_jit = jax.jit(gen_batch)
         for it in range(min(8, num_iters)):
-            key = jax.random.fold_in(jax.random.PRNGKey(test_seed), it)
-            idx = jax.random.randint(jax.random.fold_in(key, 1),
-                                     (batch_size,), 0, pool.shape[0])
-            batch = gen(pipeline.take_images(pool, idx), key, spec)
+            batch = gen_jit(pool, it)
             delta_hat, _ = predict(state, batch, jax.random.fold_in(
                 jax.random.PRNGKey(test_seed + 1), it))
             save_visualization('vis_out', it, batch,
@@ -180,6 +231,9 @@ if __name__ == '__main__':
     parser = argparse.ArgumentParser()
     parser.add_argument('--config_file', type=str, required=True)
     parser.add_argument('--ckpt', type=str, default='')
+    parser.add_argument('--torch_ckpt', type=str, default='',
+                        help='Load a reference .pth training checkpoint '
+                             '(nn.Sequential(backbone, head) state_dict).')
     parser.add_argument('--batch_size', type=int, default=1)
     parser.add_argument('--vis', action='store_true')
     parser.add_argument('--log', type=str, default='')

@@ -26,6 +26,12 @@ jax.config.update('jax_compilation_cache_dir',
                   os.environ['JAX_COMPILATION_CACHE_DIR'])
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
+# The axon TPU plugin registers itself regardless of JAX_PLATFORMS; honor
+# the env var explicitly so CPU-forced runs (tests, smoke) stay off the TPU.
+if os.environ.get('JAX_PLATFORMS'):
+    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+
+
 from bihome_tpu import config as config_lib
 from bihome_tpu.data import datasets
 from bihome_tpu.parallel import mesh as mesh_lib
