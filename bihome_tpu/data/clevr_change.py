@@ -86,3 +86,66 @@ class ClevrChangePairSampler:
             offsets = np.full(self.samples_per_epoch, 2, np.int64)
         idx2 = idx1 + offsets * n
         return np.stack([idx1, idx2], axis=1)
+
+
+class ClevrPairLoader:
+    """Streams [B,2,H,W,3] uint8 (original, changed) pair batches — the
+    consumer of :meth:`ClevrChangePairSampler.epoch_pairs` that feeds
+    train.py's ChangeAwarePrep path (ref: train.py:140-188,
+    clevr_change/dataset.py:70-88)."""
+
+    def __init__(self, dataset, batch_size: int, samples_per_epoch: int,
+                 mode: str = 'nsc', random_seed: Optional[int] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = ClevrChangePairSampler(
+            dataset, batch_size, samples_per_epoch, mode=mode,
+            random_seed=random_seed)
+
+    def __len__(self) -> int:
+        return len(self.sampler)
+
+    def _load_pair(self, i1: int, i2: int) -> np.ndarray:
+        return np.stack([self.dataset.load_image(int(i1)),
+                         self.dataset.load_image(int(i2))])
+
+    def epoch(self):
+        pairs = self.sampler.epoch_pairs()
+        b = self.batch_size
+        for k in range(len(pairs) // b):
+            chunk = pairs[k * b:(k + 1) * b]
+            yield np.stack([self._load_pair(i1, i2) for i1, i2 in chunk])
+
+    def pool(self, n: int) -> np.ndarray:
+        """[n,2,H,W,3] device-pool of pairs (feed='pool' working set)."""
+        pairs = self.sampler.epoch_pairs()
+        reps = -(-n // len(pairs))
+        pairs = np.tile(pairs, (reps, 1))[:n]
+        return np.stack([self._load_pair(i1, i2) for i1, i2 in pairs])
+
+
+class SyntheticChangeDataset:
+    """Synthetic stand-in with the CLEVR concatenated index space
+    ([0,N) originals, [N,2N) nsc, [2N,3N) sc): section k of index i renders
+    the same base scene with a section-specific perturbation seed, so 'nsc'
+    pairs look like the same scene under a small change."""
+
+    def __init__(self, num_images: int = 64,
+                 image_size: Tuple[int, int] = (320, 240), seed: int = 0):
+        from bihome_tpu.data.datasets import SyntheticDataset
+        self.num_images = num_images
+        self._base = SyntheticDataset(num_images=num_images,
+                                      image_size=image_size, seed=seed)
+        self._rng_seed = seed
+
+    def __len__(self) -> int:
+        return self.num_images
+
+    def load_image(self, idx: int) -> np.ndarray:
+        section, base_idx = divmod(int(idx), self.num_images)
+        img = self._base.load_image(base_idx)
+        if section == 0:
+            return img
+        rng = np.random.RandomState(self._rng_seed * 7919 + idx)
+        out = img.astype(np.int16) + rng.randint(-12, 13, size=(1, 1, 3))
+        return np.clip(out, 0, 255).astype(np.uint8)

@@ -59,6 +59,10 @@ class PairSpec:
     # Which of the full-size images to materialize in the output batch.
     # ('patch_*', 'delta', 'corners', 'target' are always produced.)
     emit_images: Tuple[str, ...] = ()
+    # ChangeAwarePrep keys (ref: src/data/transforms.py:399-418): when set,
+    # datagen consumes REAL image pairs [B,2,H,W,3] (CLEVR-Change original/
+    # changed renders) instead of synthesizing a homography pair.
+    change_aware_keys: Tuple[str, ...] = ()
     # Blob occlusion augmentation (CollatorWithBlobs equivalent; enabled by
     # DATA.AUGMENT_BLOB_POROSITY / AUGMENT_BLOBINESS, ref: train.py:574-577).
     blob_porosity: float = 0.0
@@ -94,6 +98,10 @@ class PairSpec:
                 kwargs['standardize_std'] = float(
                     std[0] if isinstance(std, (list, tuple)) else std)
                 kwargs['standardize_keys'] = tuple(args[2])
+            elif name == 'ChangeAwarePrep':
+                keys = tuple(args[0]) if args and args[0] else (
+                    'patch_1', 'patch_2')
+                kwargs['change_aware_keys'] = keys
             elif name == 'DictToTensor':
                 pass  # NHWC layout throughout; nothing to do.
             else:
@@ -279,12 +287,33 @@ def take_images(pool: Array, idx: Array) -> Array:
     return out.astype(pool.dtype).reshape((idx.shape[0],) + pool.shape[1:])
 
 
+def assemble_change_pairs(pairs: Array, spec: PairSpec) -> Dict[str, Array]:
+    """ChangeAwarePrep equivalent (ref: src/data/transforms.py:399-418):
+    real (original, changed) render pairs [B,2,H,W,3] -> batch dict keyed by
+    ``spec.change_aware_keys`` with grayscale/standardize applied."""
+    k1, k2 = spec.change_aware_keys[:2]
+    imgs = pairs.astype(jnp.float32)
+    batch: Dict[str, Array] = {k1: imgs[:, 0], k2: imgs[:, 1]}
+    for key in spec.grayscale_keys:
+        if key in batch and batch[key].shape[-1] != 1:
+            batch[key] = color.rgb_to_grayscale(batch[key])
+    for key in spec.standardize_keys:
+        if key in batch:
+            batch[key] = (batch[key] / 255.0
+                          - spec.standardize_mean) / spec.standardize_std
+    return batch
+
+
 def generate_pairs(images: Array, key: Array,
                    spec: PairSpec) -> Dict[str, Array]:
     """Full randomized datagen: uint8/float images [B,H,W,3] + key -> batch.
 
     The TPU-native HomographyNetPrep (ref: src/data/transforms.py:456-725).
+    With ``spec.change_aware_keys`` set, ``images`` is [B,2,H,W,3] of real
+    pairs and the ChangeAwarePrep path is taken instead.
     """
+    if spec.change_aware_keys:
+        return assemble_change_pairs(images, spec)
     images = images.astype(jnp.float32)
     b, h, w, _ = images.shape
     k_pd1, k_pd2, k_pos, k_delta = jax.random.split(key, 4)

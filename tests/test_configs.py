@@ -11,10 +11,14 @@ import pytest
 from bihome_tpu import config as config_lib
 
 CONFIGS = sorted(glob.glob('config/*/*.yaml'))
+# Configs mirroring the reference tree (json-diff-identical); the
+# clevr-change config is a framework example (the reference ships the CLEVR
+# flow but no config for it).
+REF_CONFIGS = [p for p in CONFIGS if '-coco/' in p]
 
 
-def test_all_14_configs_present():
-    assert len(CONFIGS) == 14
+def test_all_14_reference_configs_present():
+    assert len(REF_CONFIGS) == 14
 
 
 @pytest.mark.parametrize('path', CONFIGS)
@@ -22,6 +26,10 @@ def test_config_builds(path):
     config = config_lib.load_config(path)
     built = config_lib.build_model(config)
     assert built.loss_name == config['SOLVER']['LOSS']
+    if 'clevr' in path:
+        # Real-pair flow: ChangeAwarePrep instead of HomographyNetPrep.
+        assert built.pair_spec.change_aware_keys == ('patch_1', 'patch_2')
+        return
     assert built.pair_spec.rho == 32
     assert built.pair_spec.patch_size == 128
     # PDS configs distort, S-COCO configs do not.
@@ -41,7 +49,7 @@ def test_semantics_match_reference_tree():
     import yaml
     if not os.path.isdir('/root/reference/config'):
         pytest.skip('reference tree not mounted')
-    for path in CONFIGS:
+    for path in REF_CONFIGS:
         ours = yaml.full_load(open(path))
         ref = yaml.full_load(open('/root/reference/' + path))
         assert json.dumps(ours, sort_keys=True) == json.dumps(

@@ -73,15 +73,42 @@ def main(args):
                                      dataset_name=data_cfg.get('NAME',
                                                                'coco'))
 
-    train_ds = make_ds('TRAIN_SPLIT', 0)
-    test_ds = make_ds('TEST_SPLIT', 1) if 'TEST_SPLIT' in data_cfg else None
-    train_loader = datasets.BatchLoader(
-        train_ds, batch_size, steps_per_epoch * batch_size,
-        random_seed=sampler_cfg.get('TRAIN_SEED'))
-    test_loader = (datasets.BatchLoader(
-        test_ds, batch_size, test_steps * batch_size,
-        random_seed=sampler_cfg.get('TEST_SEED'))
-        if test_ds is not None and test_steps > 0 else None)
+    clevr = 'clevr_change' in str(data_cfg.get('NAME', ''))
+    if clevr:
+        # Real-pair flow (ref: train.py:140-188): (original, changed)
+        # renders feed the model through ChangeAwarePrep instead of
+        # synthetic homography pairs. Loaders yield [B,2,H,W,3].
+        from bihome_tpu.data import clevr_change
+        pair_mode = sampler_cfg.get('MODE', 'nsc')
+
+        def make_clevr_ds(split_key, seed):
+            if args.synthetic:
+                return clevr_change.SyntheticChangeDataset(
+                    image_size=image_size, seed=seed)
+            return clevr_change.ClevrChangeDataset(
+                data_cfg.get(split_key, ''), image_size=image_size)
+
+        train_ds = make_clevr_ds('TRAIN_SPLIT', 0)
+        test_ds = (make_clevr_ds('TEST_SPLIT', 1)
+                   if 'TEST_SPLIT' in data_cfg else None)
+        train_loader = clevr_change.ClevrPairLoader(
+            train_ds, batch_size, steps_per_epoch * batch_size,
+            mode=pair_mode, random_seed=sampler_cfg.get('TRAIN_SEED'))
+        test_loader = (clevr_change.ClevrPairLoader(
+            test_ds, batch_size, test_steps * batch_size, mode=pair_mode,
+            random_seed=sampler_cfg.get('TEST_SEED'))
+            if test_ds is not None and test_steps > 0 else None)
+    else:
+        train_ds = make_ds('TRAIN_SPLIT', 0)
+        test_ds = (make_ds('TEST_SPLIT', 1)
+                   if 'TEST_SPLIT' in data_cfg else None)
+        train_loader = datasets.BatchLoader(
+            train_ds, batch_size, steps_per_epoch * batch_size,
+            random_seed=sampler_cfg.get('TRAIN_SEED'))
+        test_loader = (datasets.BatchLoader(
+            test_ds, batch_size, test_steps * batch_size,
+            random_seed=sampler_cfg.get('TEST_SEED'))
+            if test_ds is not None and test_steps > 0 else None)
 
     # ---------------- model/optimizer ----------------
     built = config_lib.build_model(config)
@@ -90,7 +117,11 @@ def main(args):
                          if built.head_cfg.auxiliary_resnet_freeze else ()),
         **config_lib.solver_kwargs(config))
 
-    sample = np.stack([train_ds.load_image(0)] * batch_size)
+    if clevr:
+        sample = np.stack([train_loader._load_pair(0, len(train_ds))]
+                          * batch_size)
+    else:
+        sample = np.stack([train_ds.load_image(0)] * batch_size)
     variables = trainer_lib.init_model(built, sample)
     variables = maybe_load_pretrained_resnets(built, variables, config)
     state = ts_lib.create_train_state(variables, tx)
@@ -150,19 +181,29 @@ def main(args):
             len(train_ds), pool_size,
             random_seed=sampler_cfg.get('TRAIN_SEED'))
 
-        def load_pool(ds, indices):
-            return np.stack([ds.load_image(int(i)) for i in indices])
+        if clevr:
+            def next_train_pool():
+                return train_loader.pool(pool_size)
+        else:
+            def next_train_pool():
+                return np.stack([train_ds.load_image(int(i))
+                                 for i in pool_sampler.epoch_indices()])
 
-        train_pool = jax.device_put(
-            load_pool(train_ds, pool_sampler.epoch_indices()), rep)
+        train_pool = jax.device_put(next_train_pool(), rep)
         dispatches_per_refresh = max(
             1, args.pool_refresh_steps // spc)
         if test_ds is not None and test_steps > 0:
-            test_sampler = datasets.EpochSampler(
-                len(test_ds), min(args.pool_size, len(test_ds)),
-                random_seed=sampler_cfg.get('TEST_SEED'))
-            test_pool = jax.device_put(
-                load_pool(test_ds, test_sampler.epoch_indices()), rep)
+            if clevr:
+                test_pool = jax.device_put(
+                    test_loader.pool(min(args.pool_size, len(test_ds))),
+                    rep)
+            else:
+                test_sampler = datasets.EpochSampler(
+                    len(test_ds), min(args.pool_size, len(test_ds)),
+                    random_seed=sampler_cfg.get('TEST_SEED'))
+                test_pool = jax.device_put(
+                    np.stack([test_ds.load_image(int(i))
+                              for i in test_sampler.epoch_indices()]), rep)
 
         # Background pool refresher: prepares the next host-side pool while
         # the device trains; the main loop uploads it between dispatches.
@@ -172,8 +213,7 @@ def main(args):
 
         def _refresher():
             while True:
-                arr = load_pool(train_ds, pool_sampler.epoch_indices())
-                next_pool_q.put(arr)  # blocks until consumed
+                next_pool_q.put(next_train_pool())  # blocks until consumed
 
         if len(train_ds) > pool_size:
             _threading.Thread(target=_refresher, daemon=True).start()
