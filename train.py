@@ -308,7 +308,14 @@ def maybe_load_pretrained_resnets(built, variables, config):
                                          ('backbone', 'resnet34'))
         print(f'Backbone ImageNet weights loaded from {path}')
     aux_path = head_cfg.get('AUXILIARY_RESNET_PATH')
-    if aux_path and os.path.exists(aux_path):
+    if aux_path and os.path.exists(aux_path) and aux_path.endswith('.npz'):
+        # Native pretext-trained extractor (tools/pretrain_aux.py).
+        from bihome_tpu.utils import aux_store
+        ported = aux_store.load_aux_npz(aux_path)
+        variables = torch_port.graft(variables, ported,
+                                     ('auxiliary_resnet',))
+        print(f'Auxiliary resnet (npz) loaded from {aux_path}')
+    elif aux_path and os.path.exists(aux_path):
         state = torch_port.load_torch_state_dict(aux_path)
         aux_c = variables['params']['auxiliary_resnet'][
             'conv1']['kernel'].shape[2]
@@ -317,6 +324,19 @@ def maybe_load_pretrained_resnets(built, variables, config):
         variables = torch_port.graft(variables, ported,
                                      ('auxiliary_resnet',))
         print(f'Auxiliary resnet weights loaded from {aux_path}')
+    # SCORE_CNN_PRETRAINED (ref: src/heads/ransac_utils.py:10-23): the DSAC
+    # score CNN's resnet18 loads ImageNet weights except the replaced 2-ch
+    # conv1 and 1-unit fc. No-egress analog: SCORE_CNN_PATH names a local
+    # torchvision resnet18 .pth (framework extension key).
+    score_path = head_cfg.get('SCORE_CNN_PATH')
+    if (head_cfg.get('SCORE_CNN_PRETRAINED')
+            and 'score_cnn' in variables.get('params', {})
+            and score_path and os.path.exists(score_path)):
+        state = torch_port.load_torch_state_dict(score_path)
+        ported = torch_port.port_torchvision_resnet(
+            state, num_input_channels=2, include_fc=False)
+        variables = torch_port.graft(variables, ported, ('score_cnn',))
+        print(f'Score CNN ImageNet weights loaded from {score_path}')
     return variables
 
 
