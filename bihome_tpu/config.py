@@ -24,6 +24,38 @@ def load_config(path: str) -> Dict[str, Any]:
         return yaml.full_load(f)
 
 
+def apply_overrides(config: Dict[str, Any], overrides) -> Dict[str, Any]:
+    """Apply dotted-key CLI overrides in place: 'A.B.C=val'.
+
+    Values parse as YAML scalars ('1e-3' -> float, 'true' -> bool,
+    bare words -> str). Intermediate dicts are created as needed, so
+    framework-extension keys (e.g. MODEL.HEAD.AUXILIARY_RESNET_PATH to
+    point at a local weight file) can be set without editing the
+    reference-identical YAMLs."""
+    for item in overrides or ():
+        key, sep, raw = item.partition('=')
+        if not sep:
+            raise ValueError(f'--set expects KEY=VALUE, got {item!r}')
+        node = config
+        parts = key.split('.')
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+            if not isinstance(node, dict):
+                raise ValueError(f'{key}: {part} is not a mapping')
+        value = yaml.safe_load(raw) if raw != '' else ''
+        if isinstance(value, str):
+            # YAML 1.1 only floats '1.0e-4', not '1e-4' — accept both.
+            try:
+                value = int(value)
+            except ValueError:
+                try:
+                    value = float(value)
+                except ValueError:
+                    pass
+        node[parts[-1]] = value
+    return config
+
+
 def _emit_images_for(head_cfg: HeadConfig) -> Tuple[str, ...]:
     """Which full-size images the head actually consumes.
 

@@ -175,7 +175,18 @@ def make_dataset(split_path: str, image_size=(320, 240),
     """Dataset factory for the config DATA section (dispatch by DATA.NAME,
     replacing the reference's importlib lookup, ref: train.py:555-564).
     Missing directories fall back to SyntheticDataset (this environment
-    ships no datasets)."""
+    ships no datasets). A `.bhpk` pack path (or a directory containing
+    `pack.bhpk`, written by preprocess_offline.py --pack) selects the
+    native mmap/prefetch reader (data/pack.py, native/pack_reader.cc)."""
+    pack_path = None
+    if split_path.endswith('.bhpk') and os.path.isfile(split_path):
+        pack_path = split_path
+    elif (os.path.isdir(split_path)
+          and os.path.isfile(os.path.join(split_path, 'pack.bhpk'))):
+        pack_path = os.path.join(split_path, 'pack.bhpk')
+    if pack_path is not None:
+        from bihome_tpu.data.pack import PackDataset
+        return PackDataset(pack_path)
     if os.path.isdir(split_path):
         try:
             if 'clevr_change' in dataset_name:

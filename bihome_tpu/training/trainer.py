@@ -124,7 +124,8 @@ def make_multi_train_step(built: BuiltModel, tx, schedule,
 
 
 def make_pool_train_step(built: BuiltModel, tx, schedule, num_steps: int,
-                         batch_size: int) -> Callable:
+                         batch_size: int, mesh=None,
+                         axis_name: str = 'data') -> Callable:
     """Scan train steps sampling batches from a DEVICE-RESIDENT image pool.
 
     (state, pool_u8 [N,H,W,3], rng) -> (state, last-step metrics).
@@ -137,8 +138,36 @@ def make_pool_train_step(built: BuiltModel, tx, schedule, num_steps: int,
     hundred steps. Sampling-with-replacement from a rotating uniform pool
     approximates the reference's per-epoch seeded choice over the full
     dataset (ref: src/data/coco/dataset.py:136-142).
-    """
+
+    With ``mesh`` set, the pool is consumed SHARDED along ``axis_name``
+    (pass it device_put with PartitionSpec(axis_name)): each device samples
+    its B/ndev local indices from its own pool shard via shard_map — the
+    gathered batch is born batch-sharded with zero collectives, pool HBM
+    drops by 1/ndev, and on multi-host each host only ever uploads its own
+    shard (the multi-host input architecture, SURVEY §5.8)."""
     step = make_train_step(built, tx, schedule)
+
+    sample = None
+    if mesh is not None:
+        try:
+            from jax import shard_map          # jax >= 0.8
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        ndev = mesh.shape[axis_name]
+        if batch_size % ndev:
+            raise ValueError(f'batch {batch_size} % mesh {ndev} != 0')
+        local_b = batch_size // ndev
+
+        def local_gather(pool_local, key):
+            # Per-device stream: fold in the device's position on the axis.
+            k = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+            idx = jax.random.randint(k, (local_b,), 0, pool_local.shape[0])
+            return pipeline.take_images(pool_local, idx)
+
+        sample = shard_map(local_gather, mesh=mesh,
+                           in_specs=(P(axis_name), P()),
+                           out_specs=P(axis_name))
 
     def pool_step(state: TrainState, pool: jax.Array, rng: jax.Array):
         def body(carry, _):
@@ -146,9 +175,12 @@ def make_pool_train_step(built: BuiltModel, tx, schedule, num_steps: int,
             # Distinct stream from the datagen key (which is
             # fold_in(rng, step) inside the train step).
             idx_key = jax.random.fold_in(jax.random.fold_in(rng, 1), st.step)
-            idx = jax.random.randint(idx_key, (batch_size,), 0,
-                                     pool.shape[0])
-            images = pipeline.take_images(pool, idx)
+            if sample is not None:
+                images = sample(pool, idx_key)
+            else:
+                idx = jax.random.randint(idx_key, (batch_size,), 0,
+                                         pool.shape[0])
+                images = pipeline.take_images(pool, idx)
             st, metrics = step(st, images, rng)
             return st, metrics
 

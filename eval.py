@@ -79,6 +79,7 @@ def save_visualization(out_dir, it, batch, delta_gt, delta_hat):
 
 def main(args):
     config = config_lib.load_config(args.config_file)
+    config_lib.apply_overrides(config, args.set)
     data_cfg = config['DATA']
     sampler_cfg = data_cfg['SAMPLER']
     np.random.seed(sampler_cfg.get('TEST_SEED', 42))   # ref: eval.py:360
@@ -241,4 +242,8 @@ if __name__ == '__main__':
     parser.add_argument('--steps', type=int, default=0)
     parser.add_argument('--image_size', type=int, nargs=2,
                         default=(320, 240))
+    parser.add_argument('--set', action='append', default=[],
+                        metavar='KEY=VALUE',
+                        help='dotted config override, e.g. '
+                             'MODEL.HEAD.AUXILIARY_RESNET_PATH=aux.npz')
     main(parser.parse_args())

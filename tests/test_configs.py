@@ -86,3 +86,18 @@ def test_tiny_end_to_end_per_head_family(tmp_path):
         state, metrics = step(state, jnp.asarray(imgs),
                               jax.random.PRNGKey(0))
         assert np.isfinite(float(metrics['loss/train'])), path
+
+
+def test_apply_overrides_types_and_nesting():
+    config = {'SOLVER': {'LR': 0.005}, 'MODEL': {'HEAD': {}}}
+    config_lib.apply_overrides(config, [
+        'SOLVER.LR=1e-4',
+        'MODEL.HEAD.AUXILIARY_RESNET_PATH=aux.npz',
+        'MODEL.HEAD.NEW.FLAG=true',
+    ])
+    assert config['SOLVER']['LR'] == 1e-4
+    assert config['MODEL']['HEAD']['AUXILIARY_RESNET_PATH'] == 'aux.npz'
+    assert config['MODEL']['HEAD']['NEW']['FLAG'] is True
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        config_lib.apply_overrides(config, ['NO_EQUALS'])

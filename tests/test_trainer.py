@@ -135,6 +135,42 @@ class TestMeshDP:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=0, atol=2.5e-3)
 
+    def test_sharded_pool_feed(self):
+        """--pool_shard path: pool sharded over 'data', each device samples
+        its own shard via shard_map; batch is born sharded, loss finite,
+        params update."""
+        built = tiny_built()
+        imgs = np.asarray(images(8))
+        variables = trainer_lib.init_model(built, imgs)
+        tx, schedule = ts_lib.make_optimizer(lr=1e-3, milestones=[1000],
+                                             decay=0.1)
+        assert len(jax.devices()) >= 8
+        mesh = mesh_lib.make_mesh(jax.devices()[:8])
+        pool_step = jax.jit(trainer_lib.make_pool_train_step(
+            built, tx, schedule, num_steps=2, batch_size=8, mesh=mesh))
+        state = jax.device_put(ts_lib.create_train_state(variables, tx),
+                               mesh_lib.replicated_sharding(mesh))
+        pool = jax.device_put(jnp.asarray(np.asarray(images(16, seed=3))),
+                              mesh_lib.batch_sharding(mesh))
+        rng = jax.device_put(jax.random.PRNGKey(0),
+                             mesh_lib.replicated_sharding(mesh))
+        new_state, metrics = pool_step(state, pool, rng)
+        assert np.isfinite(float(metrics['loss/train']))
+        assert int(new_state.step) == 2
+        before = jax.tree_util.tree_leaves(jax.device_get(state.params))
+        after = jax.tree_util.tree_leaves(jax.device_get(new_state.params))
+        assert any(not np.allclose(a, b) for a, b in zip(before, after))
+
+    def test_pool_train_step_rejects_indivisible_batch(self):
+        built = tiny_built()
+        mesh = mesh_lib.make_mesh(jax.devices()[:8])
+        tx, schedule = ts_lib.make_optimizer(lr=1e-3, milestones=[1000],
+                                             decay=0.1)
+        with pytest.raises(ValueError):
+            trainer_lib.make_pool_train_step(built, tx, schedule,
+                                             num_steps=1, batch_size=6,
+                                             mesh=mesh)
+
     def test_graft_entry_dryrun(self):
         import __graft_entry__ as ge
         ge.dryrun_multichip(8)

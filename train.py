@@ -43,6 +43,7 @@ from bihome_tpu.training import train_state as ts_lib
 
 def main(args):
     config = config_lib.load_config(args.config_file)
+    config_lib.apply_overrides(config, args.set)
     if args.lr:
         config['SOLVER']['LR'] = args.lr
     if args.dtype:
@@ -102,13 +103,21 @@ def main(args):
         train_ds = make_ds('TRAIN_SPLIT', 0)
         test_ds = (make_ds('TEST_SPLIT', 1)
                    if 'TEST_SPLIT' in data_cfg else None)
-        train_loader = datasets.BatchLoader(
-            train_ds, batch_size, steps_per_epoch * batch_size,
-            random_seed=sampler_cfg.get('TRAIN_SEED'))
-        test_loader = (datasets.BatchLoader(
-            test_ds, batch_size, test_steps * batch_size,
-            random_seed=sampler_cfg.get('TEST_SEED'))
-            if test_ds is not None and test_steps > 0 else None)
+
+        def make_loader(ds, n_samples, seed):
+            # .bhpk packs stream through the native C++ prefetch ring
+            # (native/pack_reader.cc); everything else uses the Python
+            # prefetch-thread loader.
+            from bihome_tpu.data.pack import PackBatchLoader, PackDataset
+            cls = (PackBatchLoader if isinstance(ds, PackDataset)
+                   else datasets.BatchLoader)
+            return cls(ds, batch_size, n_samples, random_seed=seed)
+
+        train_loader = make_loader(train_ds, steps_per_epoch * batch_size,
+                                   sampler_cfg.get('TRAIN_SEED'))
+        test_loader = (make_loader(test_ds, test_steps * batch_size,
+                                   sampler_cfg.get('TEST_SEED'))
+                       if test_ds is not None and test_steps > 0 else None)
 
     # ---------------- model/optimizer ----------------
     built = config_lib.build_model(config)
@@ -150,10 +159,17 @@ def main(args):
     print(f'steps_per_call: {spc}')
     rep = mesh_lib.replicated_sharding(mesh)
     feed = args.feed
+    # --pool_shard: pool sharded along the 'data' axis; each device samples
+    # from its own shard (zero-collective feed, pool HBM / ndev; on
+    # multi-host each host uploads only its shard).
+    ndev = len(jax.devices())
+    pool_mesh = mesh if (args.pool_shard and ndev > 1) else None
+    pool_sharding = (mesh_lib.batch_sharding(mesh) if pool_mesh is not None
+                     else rep)
     if feed == 'pool':
         train_block = jax.jit(
             trainer_lib.make_pool_train_step(built, tx, schedule, spc,
-                                             batch_size),
+                                             batch_size, mesh=pool_mesh),
             donate_argnums=(0,))
         eval_block = (jax.jit(trainer_lib.make_pool_eval_step(
             built, test_steps, batch_size)) if test_steps > 0 else None)
@@ -177,6 +193,8 @@ def main(args):
     # ---------------- device image pools (feed='pool') ----------------
     if feed == 'pool':
         pool_size = min(args.pool_size, len(train_ds))
+        if pool_mesh is not None:
+            pool_size -= pool_size % ndev
         pool_sampler = datasets.EpochSampler(
             len(train_ds), pool_size,
             random_seed=sampler_cfg.get('TRAIN_SEED'))
@@ -189,7 +207,7 @@ def main(args):
                 return np.stack([train_ds.load_image(int(i))
                                  for i in pool_sampler.epoch_indices()])
 
-        train_pool = jax.device_put(next_train_pool(), rep)
+        train_pool = jax.device_put(next_train_pool(), pool_sharding)
         dispatches_per_refresh = max(
             1, args.pool_refresh_steps // spc)
         if test_ds is not None and test_steps > 0:
@@ -255,7 +273,8 @@ def main(args):
                     log_metrics(metrics)
                 if (dispatch_count % dispatches_per_refresh == 0
                         and not next_pool_q.empty()):
-                    train_pool = jax.device_put(next_pool_q.get(), rep)
+                    train_pool = jax.device_put(next_pool_q.get(),
+                                                pool_sharding)
         else:
             chunk = []
             for images in train_loader.epoch():
@@ -365,6 +384,9 @@ if __name__ == '__main__':
                         help='device image-pool size (feed=pool)')
     parser.add_argument('--pool_refresh_steps', type=int, default=1000,
                         help='refresh the device pool every N steps')
+    parser.add_argument('--pool_shard', action='store_true',
+                        help='shard the image pool over the mesh data axis; '
+                             'each device samples from its own shard')
     parser.add_argument('--steps_per_call', type=int, default=0,
                         help='train steps scanned per dispatch (default: '
                              'auto divisor of LOGGING.STEP)')
@@ -374,4 +396,8 @@ if __name__ == '__main__':
                              'assumes pretrained ImageNet weights)')
     parser.add_argument('--image_size', type=int, nargs=2,
                         default=(320, 240))
+    parser.add_argument('--set', action='append', default=[],
+                        metavar='KEY=VALUE',
+                        help='dotted config override, e.g. '
+                             'MODEL.HEAD.AUXILIARY_RESNET_PATH=aux.npz')
     main(parser.parse_args())
