@@ -167,15 +167,22 @@ class PackDataset:
         return np.array(self._mm[indices])
 
     def epoch_batches(self, indices: Sequence[int], batch_size: int,
-                      prefetch: int = 4,
-                      threads: int = 2) -> Iterator[np.ndarray]:
+                      prefetch: int = 4, threads: int = 2,
+                      use_ring: Optional[bool] = None
+                      ) -> Iterator[np.ndarray]:
         """Prefetched batch iterator over `indices` (truncated to a
-        multiple of batch_size), matching BatchLoader.epoch() semantics."""
+        multiple of batch_size), matching BatchLoader.epoch() semantics.
+
+        use_ring=None (auto): the prefetch ring only pays off when a spare
+        core can run the producer; on 1-2 core hosts its extra buffer copy
+        loses to a direct single-copy gather (tools/bench_loader.py)."""
         indices = np.ascontiguousarray(indices, dtype=np.int64)
         steps = len(indices) // batch_size
         if steps == 0:
             return
-        if self._handle is None:
+        if use_ring is None:
+            use_ring = (os.cpu_count() or 1) > 2
+        if self._handle is None or not use_ring:
             for s in range(steps):
                 yield self.gather(
                     indices[s * batch_size:(s + 1) * batch_size])

@@ -59,10 +59,58 @@ class CheckPointer:
         self.manager.close()
 
 
+def _merge_matching(dst: Any, src: Any, stats: list) -> Any:
+    """Copy leaves of src into dst where the key path exists AND shapes
+    match; everything else keeps dst's value. stats accumulates
+    [copied, skipped]."""
+    if not isinstance(dst, dict) or not isinstance(src, dict):
+        return dst
+    out = dict(dst)
+    for k, v in dst.items():
+        if k not in src:
+            continue
+        s = src[k]
+        if isinstance(v, dict):
+            out[k] = _merge_matching(v, s, stats)
+        elif (hasattr(v, 'shape') and hasattr(s, 'shape')
+              and tuple(v.shape) == tuple(s.shape)):
+            out[k] = np.asarray(s, dtype=np.asarray(v).dtype)
+            stats[0] += 1
+        else:
+            stats[1] += 1
+    return out
+
+
+def resolve_checkpoint_dir(path: str) -> str:
+    """Accept a CheckPointer log dir (picks the latest model_* step) or a
+    direct step dir; returns the Orbax item directory."""
+    path = os.path.abspath(path)
+    steps = [d for d in (os.listdir(path) if os.path.isdir(path) else [])
+             if d.startswith('model_') and
+             os.path.isdir(os.path.join(path, d))]
+    if steps:
+        path = os.path.join(
+            path, max(steps, key=lambda d: int(d.split('_')[1])))
+    if os.path.isdir(os.path.join(path, 'default')):
+        path = os.path.join(path, 'default')
+    return path
+
+
 def load_pretrained_params(path: str, state: TrainState) -> TrainState:
-    """Weights-only init from a bihome_tpu checkpoint directory
-    (MODEL.PRETRAINED semantics, ref: train.py:735-742)."""
+    """Weights-only init from a bihome_tpu checkpoint
+    (MODEL.PRETRAINED semantics, ref: train.py:735-742).
+
+    Partial by design: leaves are copied where the key path AND shape
+    match the target state (torch load_state_dict(strict=False) analog),
+    so e.g. a supervised zeng-orig backbone can warm-start zeng-bihome,
+    whose state also holds the (absent-in-source) frozen aux extractor."""
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(os.path.abspath(path), state)
-    return state.replace(params=restored.params,
-                         batch_stats=restored.batch_stats)
+    raw = ckptr.restore(resolve_checkpoint_dir(path))
+    raw = dict(raw) if not isinstance(raw, dict) else raw
+    stats = [0, 0]
+    params = _merge_matching(state.params, raw.get('params', {}), stats)
+    batch_stats = _merge_matching(state.batch_stats,
+                                  raw.get('batch_stats', {}), stats)
+    print(f'Pretrained: {stats[0]} tensors loaded, {stats[1]} shape-skipped '
+          f'from {path}')
+    return state.replace(params=params, batch_stats=batch_stats)

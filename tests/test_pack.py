@@ -40,13 +40,16 @@ def test_epoch_prefetch_ring(pack_file):
     path, imgs = pack_file
     ds = pack.PackDataset(path)
     batches = list(ds.epoch_batches(np.arange(48), 16, prefetch=3,
-                                    threads=2))
+                                    threads=2, use_ring=True))
     assert len(batches) == 3
     assert (np.concatenate(batches) == imgs).all()
     # early abort must not hang or leak the producer thread
-    it = ds.epoch_batches(np.arange(48), 16)
+    it = ds.epoch_batches(np.arange(48), 16, use_ring=True)
     next(it)
     it.close()
+    # direct-gather mode (auto-selected on 1-2 core hosts)
+    direct = list(ds.epoch_batches(np.arange(48), 16, use_ring=False))
+    assert (np.concatenate(direct) == imgs).all()
 
 
 def test_gather_out_of_range(pack_file):

@@ -37,8 +37,58 @@ from bihome_tpu.models.resnet import ResNet
 from bihome_tpu.utils import aux_store
 
 
+def _sobel(x, k):
+    return jax.lax.conv_general_dilated(
+        x, k[:, :, None, None], (1, 1), 'SAME',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
+def _blur(x, times):
+    """Repeated 3x3 binomial blur (approx Gaussian, sigma ~ sqrt(times/2))."""
+    k = jnp.array([[1., 2., 1.], [2., 4., 2.], [1., 2., 1.]],
+                  jnp.float32) / 16.0
+    kc = jnp.tile(k[:, :, None, None], (1, 1, 1, x.shape[-1]))
+    for _ in range(times):
+        x = jax.lax.conv_general_dilated(
+            x, kc, (1, 1), 'SAME', feature_group_count=x.shape[-1],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    return x
+
+
+def grad_targets(x):
+    """Alignment-friendly distillation target: a multi-scale pyramid at H/4
+    — intensity and Sobel gradients at blur scales sigma ~ {0, 2, 4, 8}px —
+    projected to 64 dims by a FIXED random map + tanh.
+
+    The coarse blurred channels have long correlation lengths, so the
+    feature distance has a non-zero gradient toward alignment even from
+    rho=32px perturbations (classic coarse-to-fine registration); the fine
+    gradient channels sharpen the optimum. This is the property the paper
+    gets from ImageNet layer1 features (ref: PerceptualHead.py:21-39) and
+    what a rotation-pretext or raw-gradient space lacks."""
+    kx = jnp.array([[1., 0., -1.], [2., 0., -2.], [1., 0., -1.]],
+                   jnp.float32) / 4.0
+    x = x.astype(jnp.float32)
+    base = nnavg_pool(x, 4)                                # [B,32,32,1]
+    chans = []
+    for times in (0, 2, 8, 32):                            # sigma ~ 0,1,2,4
+        b = _blur(base, times) if times else base
+        chans += [b, _sobel(b, kx), _sobel(b, kx.T)]
+    t = jnp.concatenate(chans, axis=-1)                    # [B,32,32,12]
+    proj = jax.random.normal(jax.random.PRNGKey(42),
+                             (t.shape[-1], 64)) / jnp.sqrt(float(t.shape[-1]))
+    return jnp.tanh(t @ proj)
+
+
+def nnavg_pool(x, s):
+    b, h, w, c = x.shape
+    return x.reshape(b, h // s, s, w // s, s, c).mean(axis=(2, 4))
+
+
 def main(args):
-    model = ResNet(arch='resnet34', num_classes=4, dtype=jnp.bfloat16)
+    out_layer = 1 if args.pretext == 'grad' else None
+    model = ResNet(arch='resnet34', num_classes=4, output_layer=out_layer,
+                   dtype=jnp.bfloat16)
     spec = pipeline.PairSpec(rho=32, patch_size=128, photometric_keys=(),
                              max_delta=0.0)
     pool = jnp.asarray(synthetic.make_image_pool(args.pool, 240, 320,
@@ -60,21 +110,37 @@ def main(args):
             stacked, rot[:, None, None, None, None], axis=1)[:, 0]
         return x, rot
 
+    def make_grad_batch(key):
+        k_idx, k_gen = jax.random.split(key)
+        idx = jax.random.randint(k_idx, (args.batch,), 0, pool.shape[0])
+        batch = pipeline.generate_pairs(pipeline.take_images(pool, idx),
+                                        k_gen, spec)
+        x = batch['patch_1']                                   # [B,128,128,1]
+        return x, grad_targets(x)
+
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((2, 128, 128, 1)), train=False)
     tx = optax.adam(args.lr)
     opt_state = tx.init(variables['params'])
 
     def train_step(params, batch_stats, opt_state, key):
-        x, rot = make_batch(key)
+        if args.pretext == 'grad':
+            x, target = make_grad_batch(key)
+        else:
+            x, rot = make_batch(key)
 
         def loss_fn(p):
-            logits, mut = model.apply(
+            out, mut = model.apply(
                 {'params': p, 'batch_stats': batch_stats}, x, train=True,
                 mutable=['batch_stats'])
-            loss = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
-                logits, rot))
-            acc = jnp.mean((jnp.argmax(logits, -1) == rot).astype(jnp.float32))
+            if args.pretext == 'grad':
+                loss = jnp.mean((out.astype(jnp.float32) - target) ** 2)
+                acc = 1.0 - loss / jnp.mean(target ** 2)  # R^2-style proxy
+            else:
+                loss = jnp.mean(
+                    optax.softmax_cross_entropy_with_integer_labels(out, rot))
+                acc = jnp.mean(
+                    (jnp.argmax(out, -1) == rot).astype(jnp.float32))
             return loss, (mut['batch_stats'], acc)
 
         (loss, (batch_stats, acc)), grads = jax.value_and_grad(
@@ -120,4 +186,7 @@ if __name__ == '__main__':
     p.add_argument('--lr', type=float, default=1e-3)
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--out', type=str, default='aux_rotnet.npz')
+    p.add_argument('--pretext', choices=('rotnet', 'grad'), default='rotnet',
+                   help="'grad': distill fixed multi-scale local-gradient "
+                        "features (dense, localizable — alignment-friendly)")
     main(p.parse_args())
