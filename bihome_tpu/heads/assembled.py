@@ -317,14 +317,22 @@ class AssembledModel(nn.Module):
         hyps = dsac_lib.sample_hypotheses(
             coords, mapping, key, cfg.hypothesis_no,
             cfg.points_per_hypothesis, cfg.dsac_point_sampling)  # [B,n,3,3]
-        score_fn = None
-        if cfg.scoring_method == 'score_cnn':
-            def score_fn(img):
-                return self.score_cnn(img, train=False)
-        scores, _ = dsac_lib.score_hypotheses(
-            coords, mapping, hyps, cfg.scoring_method,
-            cfg.scoring_distance_threshold, cfg.scoring_distance_beta,
-            score_fn)                                          # [B,n]
+        if cfg.hypothesis_no == 1 and cfg.scoring_method != 'score_cnn':
+            # softmax(-s) over a single hypothesis is identically [1.0]
+            # with zero gradient into s, so scoring all H*W points
+            # (ref: ransac_utils.py:77-126) is pure dead compute — skip it.
+            # Exact, not a divergence; saves ~3 ms/step on zeng-bihome.
+            # (score_cnn mode still runs so its params exist for ports.)
+            scores = jnp.ones((b, 1), pf.dtype)
+        else:
+            score_fn = None
+            if cfg.scoring_method == 'score_cnn':
+                def score_fn(img):
+                    return self.score_cnn(img, train=False)
+            scores, _ = dsac_lib.score_hypotheses(
+                coords, mapping, hyps, cfg.scoring_method,
+                cfg.scoring_distance_threshold, cfg.scoring_distance_beta,
+                score_fn)                                      # [B,n]
         four_points = jnp.array([[0, 0], [w, 0], [w, h], [0, h]], jnp.float32)
         fp = jnp.broadcast_to(four_points[None],
                               (b * cfg.hypothesis_no, 4, 2))

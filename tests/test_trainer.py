@@ -199,3 +199,37 @@ class TestCheckpoint:
         restored_lr, _ = ckptr.load(template, restart_learning_rate=True)
         assert int(restored_lr.step) == 0
         ckptr.close()
+
+    def test_pretrained_partial_merge(self, tmp_path):
+        """MODEL.PRETRAINED warm-start across architectures: leaves copy
+        where key path + shape match; extra subtrees (frozen aux resnet)
+        keep their init (checkpoint.load_pretrained_params)."""
+        from bihome_tpu.training import checkpoint as ckpt_lib
+        imgs = np.asarray(images(2))
+        tx, _ = ts_lib.make_optimizer(lr=1e-3, milestones=[10], decay=0.1)
+
+        src = tiny_built()                      # backbone only (NoOpHead)
+        var_src = trainer_lib.init_model(src, imgs, seed=1)
+        state_src = ts_lib.create_train_state(var_src, tx)
+        ckptr = ckpt_lib.CheckPointer(str(tmp_path / 'log'))
+        ckptr.save(7, jax.device_get(state_src))
+        ckptr.close()
+
+        dst = tiny_built(bihome=True)           # + auxiliary_resnet
+        var_dst = trainer_lib.init_model(dst, imgs, seed=2)
+        state_dst = ts_lib.create_train_state(var_dst, tx)
+        merged = ckpt_lib.load_pretrained_params(str(tmp_path / 'log'),
+                                                 state_dst)
+        # overlapping backbone leaves take the source values
+        a = jax.tree_util.tree_leaves(state_src.params['backbone'])
+        b = jax.tree_util.tree_leaves(merged.params['backbone'])
+        matched = sum(np.asarray(x).shape == np.asarray(y).shape
+                      and np.array_equal(np.asarray(x), np.asarray(y))
+                      for x, y in zip(a, b))
+        assert matched > 0
+        # aux subtree is absent in the source -> keeps dst init
+        for x, y in zip(
+                jax.tree_util.tree_leaves(state_dst.params[
+                    'auxiliary_resnet']),
+                jax.tree_util.tree_leaves(merged.params['auxiliary_resnet'])):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

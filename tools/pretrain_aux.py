@@ -5,11 +5,17 @@ The biHomE loss is defined in the feature space of a FROZEN pretrained
 resnet34 (ref: src/heads/PerceptualHead.py:21-39); the reference downloads
 ImageNet weights. This environment has no network and no .pth files, so
 this tool trains the conv1/bn1/layer1 stack (all biHomE uses at
-AUXILIARY_RESNET_OUTPUT_LAYER=1) on a rotation-prediction pretext
-(RotNet, Gidaris et al. 2018) over the synthetic image pool, and saves the
-subtree as an .npz that train.py's HEAD.AUXILIARY_RESNET_PATH accepts.
+AUXILIARY_RESNET_OUTPUT_LAYER=1) on a pretext over the synthetic pool and
+saves the subtree as an .npz that train.py's HEAD.AUXILIARY_RESNET_PATH
+accepts. Two pretexts:
 
-    python tools/pretrain_aux.py --steps 1500 --out aux_rotnet.npz
+  rotnet (default): rotation prediction (RotNet, Gidaris et al. 2018).
+  grad: regress a multi-scale blurred intensity+gradient pyramid — the
+        alignment-friendly space used by the flagship training demo
+        (coarse channels carry long-range alignment gradients; see
+        BENCH_NOTES.md "training-quality demonstration").
+
+    python tools/pretrain_aux.py --pretext grad --steps 2500 --out aux.npz
 """
 
 import argparse
@@ -85,8 +91,29 @@ def nnavg_pool(x, s):
     return x.reshape(b, h // s, s, w // s, s, c).mean(axis=(2, 4))
 
 
+def grad_targets_pi(x):
+    """Photometrically invariant variant of grad_targets for PDS-style
+    training: gradient-only pyramid (intensity channels dropped — kills
+    brightness offsets) normalized by the per-sample mean |g| (kills
+    contrast scaling), then the fixed projection + tanh."""
+    kx = jnp.array([[1., 0., -1.], [2., 0., -2.], [1., 0., -1.]],
+                   jnp.float32) / 4.0
+    x = x.astype(jnp.float32)
+    base = nnavg_pool(x, 4)
+    chans = []
+    for times in (0, 2, 8, 32):
+        b = _blur(base, times) if times else base
+        chans += [_sobel(b, kx), _sobel(b, kx.T)]
+    t = jnp.concatenate(chans, axis=-1)                    # [B,32,32,8]
+    scale = jnp.mean(jnp.abs(t), axis=(1, 2, 3), keepdims=True) + 1e-3
+    t = t / scale
+    proj = jax.random.normal(jax.random.PRNGKey(43),
+                             (t.shape[-1], 64)) / jnp.sqrt(float(t.shape[-1]))
+    return jnp.tanh(t @ proj)
+
+
 def main(args):
-    out_layer = 1 if args.pretext == 'grad' else None
+    out_layer = 1 if args.pretext in ('grad', 'gradpi') else None
     model = ResNet(arch='resnet34', num_classes=4, output_layer=out_layer,
                    dtype=jnp.bfloat16)
     spec = pipeline.PairSpec(rho=32, patch_size=128, photometric_keys=(),
@@ -111,11 +138,21 @@ def main(args):
         return x, rot
 
     def make_grad_batch(key):
-        k_idx, k_gen = jax.random.split(key)
+        k_idx, k_gen, k_b, k_c = jax.random.split(key, 4)
         idx = jax.random.randint(k_idx, (args.batch,), 0, pool.shape[0])
         batch = pipeline.generate_pairs(pipeline.take_images(pool, idx),
                                         k_gen, spec)
         x = batch['patch_1']                                   # [B,128,128,1]
+        if args.pretext == 'gradpi':
+            # Invariance training: target from the CLEAN patch, input
+            # brightness/contrast-jittered (the dominant post-grayscale
+            # modes of the reference's PhotometricDistortSimple).
+            target = grad_targets_pi(x)
+            b = jax.random.uniform(k_b, (args.batch, 1, 1, 1),
+                                   minval=-0.5, maxval=0.5)
+            c = jax.random.uniform(k_c, (args.batch, 1, 1, 1),
+                                   minval=0.6, maxval=1.5)
+            return c * (x + b), target
         return x, grad_targets(x)
 
     variables = model.init(jax.random.PRNGKey(0),
@@ -124,7 +161,7 @@ def main(args):
     opt_state = tx.init(variables['params'])
 
     def train_step(params, batch_stats, opt_state, key):
-        if args.pretext == 'grad':
+        if args.pretext in ('grad', 'gradpi'):
             x, target = make_grad_batch(key)
         else:
             x, rot = make_batch(key)
@@ -133,7 +170,7 @@ def main(args):
             out, mut = model.apply(
                 {'params': p, 'batch_stats': batch_stats}, x, train=True,
                 mutable=['batch_stats'])
-            if args.pretext == 'grad':
+            if args.pretext in ('grad', 'gradpi'):
                 loss = jnp.mean((out.astype(jnp.float32) - target) ** 2)
                 acc = 1.0 - loss / jnp.mean(target ** 2)  # R^2-style proxy
             else:
@@ -186,7 +223,7 @@ if __name__ == '__main__':
     p.add_argument('--lr', type=float, default=1e-3)
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--out', type=str, default='aux_rotnet.npz')
-    p.add_argument('--pretext', choices=('rotnet', 'grad'), default='rotnet',
+    p.add_argument('--pretext', choices=('rotnet', 'grad', 'gradpi'), default='rotnet',
                    help="'grad': distill fixed multi-scale local-gradient "
                         "features (dense, localizable — alignment-friendly)")
     main(p.parse_args())
