@@ -34,6 +34,7 @@ from bihome_tpu import config as config_lib
 from bihome_tpu import geometry
 from bihome_tpu.data import datasets, pipeline
 from bihome_tpu.ops import color
+from bihome_tpu.parallel import dist_util
 from bihome_tpu.training import checkpoint as ckpt_lib
 from bihome_tpu.training import trainer as trainer_lib
 from bihome_tpu.training import train_state as ts_lib
@@ -198,6 +199,12 @@ def main(args):
 
     maces = np.asarray(jax.block_until_ready(
         eval_all(state, pool))).reshape(-1)                    # per sample
+    # Multi-host: gather each host's per-sample maces before reducing
+    # (process_allgather replaces the reference's pickle all_gather,
+    # ref: src/utils/dist_util.py:59-96; no-op on a single host).
+    if dist_util.get_world_size() > 1:
+        maces = np.concatenate(
+            [np.asarray(m).reshape(-1) for m in dist_util.all_gather(maces)])
 
     # Timing: pre-generate all batches, then time predict only.
     batches = jax.block_until_ready(datagen_all(pool))
@@ -206,7 +213,7 @@ def main(args):
     jax.block_until_ready(predict_timed(state, batches, jnp.float32(1e-30)))
     per_batch_ms = (time.perf_counter() - start) / num_iters * 1000.0
 
-    if args.log:
+    if args.log and dist_util.is_main_process():
         # Per-sample CSV "iter,mace" (ref: eval.py:136-138; iteration ==
         # sample at the reference's default batch 1).
         with open(args.log, 'a') as f:
@@ -223,9 +230,10 @@ def main(args):
                                np.asarray(batch['delta']),
                                np.asarray(delta_hat))
 
-    print('Number of params: {}'.format(count_params(state.params)))
-    print('Mean mace: {}'.format(float(np.mean(maces))))
-    print('Mean model time: {}'.format(per_batch_ms))
+    if dist_util.is_main_process():
+        print('Number of params: {}'.format(count_params(state.params)))
+        print('Mean mace: {}'.format(float(np.mean(maces))))
+        print('Mean model time: {}'.format(per_batch_ms))
 
 
 if __name__ == '__main__':
