@@ -43,10 +43,20 @@ from bihome_tpu.models.resnet import ResNet
 from bihome_tpu.utils import aux_store
 
 
-def _sobel(x, k):
+def _conv3_edge(x, k):
+    """3x3 conv with edge-replicate padding: a CONSTANT input yields
+    sum(k)*input everywhere (no zero-pad border leakage — with zero
+    padding a brightness offset would bleed gradients in from the
+    borders and the photometric invariance of gradpi would be lost)."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode='edge')
     return jax.lax.conv_general_dilated(
-        x, k[:, :, None, None], (1, 1), 'SAME',
+        xp, k, (1, 1), 'VALID', feature_group_count=x.shape[-1],
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
+def _sobel(x, k):
+    return _conv3_edge(
+        x, jnp.tile(k[:, :, None, None], (1, 1, 1, x.shape[-1])))
 
 
 def _blur(x, times):
@@ -55,9 +65,7 @@ def _blur(x, times):
                   jnp.float32) / 16.0
     kc = jnp.tile(k[:, :, None, None], (1, 1, 1, x.shape[-1]))
     for _ in range(times):
-        x = jax.lax.conv_general_dilated(
-            x, kc, (1, 1), 'SAME', feature_group_count=x.shape[-1],
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        x = _conv3_edge(x, kc)
     return x
 
 
