@@ -105,7 +105,9 @@ def build_model(config: Dict[str, Any], dtype=None) -> BuiltModel:
             config['DATA'].get('AUGMENT_BLOBINESS', 1.0))
     pair_spec = dataclasses.replace(
         PairSpec.from_transforms(config['DATA']['TRANSFORMS'],
-                                 emit_images=emit), **blob_kw)
+                                 emit_images=emit),
+        warp_dtype=('bfloat16' if dtype == jnp.bfloat16 else 'float32'),
+        **blob_kw)
     test_transforms = config['DATA'].get('TEST_TRANSFORM',
                                          config['DATA']['TRANSFORMS'])
     test_pair_spec = dataclasses.replace(

@@ -67,6 +67,12 @@ class PairSpec:
     # DATA.AUGMENT_BLOB_POROSITY / AUGMENT_BLOBINESS, ref: train.py:574-577).
     blob_porosity: float = 0.0
     blobiness: float = 1.0
+    # Dtype of the patch_2 tent-warp source ('float32' | 'bfloat16').
+    # When the model's compute dtype is bf16, patches are cast to bf16 at
+    # the first conv anyway, so sampling in bf16 loses nothing downstream
+    # while halving the dominant [P,W] tent-contraction HBM traffic
+    # (train-time only; the eval/test spec stays float32).
+    warp_dtype: str = 'float32'
 
     @staticmethod
     def from_transforms(transforms: Sequence[Dict[str, List[Any]]],
@@ -229,8 +235,11 @@ def generate_pairs_deterministic(
     patch_1 = _extract_patches(patch_1_src, x0, y0, ps)
 
     homography = geometry.four_point_to_homography(corners, delta)
+    if spec.warp_dtype == 'bfloat16':
+        patch_2_src = patch_2_src.astype(jnp.bfloat16)
     patch_2 = _warp_patches(patch_2_src, homography,
                             corners[:, 0].astype(jnp.float32), ps, spec.rho)
+    patch_2 = patch_2.astype(jnp.float32)
 
     batch: Dict[str, Array] = {
         'patch_1': patch_1,

@@ -355,6 +355,12 @@ def crop_integer(images: Array, x0: Array, y0: Array,
     """
     sh, sw = size_hw
     b, h, w, c = images.shape
+    if (sh, sw) == (h, w):
+        # Full-size crop: callers guarantee in-bounds offsets (clipped to
+        # [0, dim-size] = {0}), so this is the identity — skip the two
+        # one-hot contractions (hit by the window-first datagen path when
+        # the window already IS the image).
+        return images
     rows = (jnp.arange(h)[None, None, :]
             == (y0.astype(jnp.int32)[:, None]
                 + jnp.arange(sh))[:, :, None])               # [B,sh,H]

@@ -163,3 +163,40 @@ class TestOfflinePreprocess:
         ds2 = ImageFolderDataset(str(out), image_size=(64, 48))
         assert len(ds2) == 2
         np.testing.assert_array_equal(ds2.load_image(0), arr)
+
+
+class TestSyntheticPool:
+    """The pool must have natural-image channel statistics: PDS distortion
+    (hue/saturation/channel permutation) barely perturbs the grayscale
+    projection of natural images, and the PDS-COCO protocol depends on that
+    (see synthetic.py module docstring)."""
+
+    def test_natural_channel_correlation(self):
+        from bihome_tpu.data import synthetic
+        pool = synthetic.make_image_pool(4, 120, 160, seed=3)
+        corrs = []
+        for img in pool.astype(np.float32):
+            ch = img.reshape(-1, 3).T
+            c = np.corrcoef(ch)
+            corrs.append((c[0, 1] + c[0, 2] + c[1, 2]) / 3)
+        assert np.mean(corrs) > 0.9
+
+    def test_grayscale_survives_pds_distortion(self):
+        from bihome_tpu.data import synthetic
+        from bihome_tpu.data.numpy_ref import (photometric_distort_simple,
+                                               to_grayscale)
+        pool = synthetic.make_image_pool(4, 120, 160, seed=3)
+        rs = np.random.RandomState(0)
+        for img in pool.astype(np.float32):
+            g0 = to_grayscale(
+                photometric_distort_simple(img.copy(), 32.0, rs)).ravel()
+            g1 = to_grayscale(
+                photometric_distort_simple(img.copy(), 32.0, rs)).ravel()
+            assert np.corrcoef(g0, g1)[0, 1] > 0.98
+
+    def test_legacy_independent_channels(self):
+        from bihome_tpu.data import synthetic
+        pool = synthetic.make_image_pool(2, 120, 160, seed=3, chroma=None)
+        img = pool[0].astype(np.float32)
+        c = np.corrcoef(img.reshape(-1, 3).T)
+        assert abs(c[0, 1]) < 0.6  # no shared luminance structure

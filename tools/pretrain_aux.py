@@ -15,6 +15,13 @@ accepts. Two pretexts:
         (coarse channels carry long-range alignment gradients; see
         BENCH_NOTES.md "training-quality demonstration").
 
+  gradpi: photometric-invariant variant of grad (gradient-only pyramid,
+        contrast-normalized) with brightness/contrast input jitter.
+  gradpds: gradpi targets from the CLEAN grayscale patch with the input
+        run through the FULL PDS PhotometricDistortSimple chain on RGB —
+        directly optimizes invariance to the PDS-COCO nuisance
+        (requires the natural-statistics pool, data/synthetic.py).
+
     python tools/pretrain_aux.py --pretext grad --steps 2500 --out aux.npz
 """
 
@@ -38,8 +45,10 @@ import optax
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bihome_tpu.data import pipeline, synthetic
+from bihome_tpu import geometry
+from bihome_tpu.data import photometric, pipeline, synthetic
 from bihome_tpu.models.resnet import ResNet
+from bihome_tpu.ops import color
 from bihome_tpu.utils import aux_store
 
 
@@ -121,7 +130,7 @@ def grad_targets_pi(x):
 
 
 def main(args):
-    out_layer = 1 if args.pretext in ('grad', 'gradpi') else None
+    out_layer = 1 if args.pretext.startswith('grad') else None
     model = ResNet(arch='resnet34', num_classes=4, output_layer=out_layer,
                    dtype=jnp.bfloat16)
     spec = pipeline.PairSpec(rho=32, patch_size=128, photometric_keys=(),
@@ -148,6 +157,29 @@ def main(args):
     def make_grad_batch(key):
         k_idx, k_gen, k_b, k_c = jax.random.split(key, 4)
         idx = jax.random.randint(k_idx, (args.batch,), 0, pool.shape[0])
+        if args.pretext == 'gradpds':
+            # Invariance to the REAL PDS distortion chain: crop an RGB
+            # patch, target from its clean grayscale, input from the full
+            # PhotometricDistortSimple chain (brightness/contrast/HSV/
+            # channel-permutation, ref: src/data/transforms.py:296-330)
+            # applied to the same RGB patch. Well-posed on the
+            # natural-statistics pool (see data/synthetic.py): the
+            # grayscale structure survives the distortion, so the network
+            # can actually learn the invariance.
+            imgs = pipeline.take_images(pool, idx).astype(jnp.float32)
+            b, h, w, _ = imgs.shape
+            kx, ky, kpd = jax.random.split(k_gen, 3)
+            ox = jax.random.randint(kx, (args.batch,), 0, w - 128 + 1)
+            oy = jax.random.randint(ky, (args.batch,), 0, h - 128 + 1)
+            rgb = geometry.crop_integer(imgs, ox, oy, (128, 128))
+            std = lambda g: color.standardize(g, spec.standardize_mean,
+                                              spec.standardize_std)
+            target = grad_targets_pi(std(color.rgb_to_grayscale(rgb)))
+            distorted = jax.vmap(
+                photometric.photometric_distort_simple,
+                in_axes=(0, 0, None))(rgb, jax.random.split(kpd, args.batch),
+                                      32.0)
+            return std(color.rgb_to_grayscale(distorted)), target
         batch = pipeline.generate_pairs(pipeline.take_images(pool, idx),
                                         k_gen, spec)
         x = batch['patch_1']                                   # [B,128,128,1]
@@ -169,7 +201,7 @@ def main(args):
     opt_state = tx.init(variables['params'])
 
     def train_step(params, batch_stats, opt_state, key):
-        if args.pretext in ('grad', 'gradpi'):
+        if args.pretext.startswith('grad'):
             x, target = make_grad_batch(key)
         else:
             x, rot = make_batch(key)
@@ -178,7 +210,7 @@ def main(args):
             out, mut = model.apply(
                 {'params': p, 'batch_stats': batch_stats}, x, train=True,
                 mutable=['batch_stats'])
-            if args.pretext in ('grad', 'gradpi'):
+            if args.pretext.startswith('grad'):
                 loss = jnp.mean((out.astype(jnp.float32) - target) ** 2)
                 acc = 1.0 - loss / jnp.mean(target ** 2)  # R^2-style proxy
             else:
@@ -231,7 +263,7 @@ if __name__ == '__main__':
     p.add_argument('--lr', type=float, default=1e-3)
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--out', type=str, default='aux_rotnet.npz')
-    p.add_argument('--pretext', choices=('rotnet', 'grad', 'gradpi'), default='rotnet',
+    p.add_argument('--pretext', choices=('rotnet', 'grad', 'gradpi', 'gradpds'), default='rotnet',
                    help="'grad': distill fixed multi-scale local-gradient "
                         "features (dense, localizable — alignment-friendly)")
     main(p.parse_args())

@@ -1,0 +1,49 @@
+#!/usr/bin/env bash
+# PDS-COCO flagship training-quality demonstration (zeng-biHomE).
+#
+# The biHomE paper premise: a frozen pretrained feature space that is
+# (a) alignment-sensitive and (b) photometrically invariant. This
+# environment has no ImageNet weights, so the frozen space is distilled
+# by tools/pretrain_aux.py (--pretext gradpds: invariance to the real
+# PDS distortion chain) over the natural-statistics synthetic pool
+# (data/synthetic.py — independent-channel pools make PDS structurally
+# impossible; see BENCH_NOTES.md).
+#
+# Stages (each skipped if its artifact already exists):
+#   1. aux_pds.npz        frozen extractor (gradpds pretext)
+#   2. zeng-orig PDS      supervised warm start, 3 epochs
+#   3. zeng-bihome PDS    biHomE loss only, frozen extractor, 5 epochs
+#
+# Tuning facts (see BENCH_NOTES.md): TRIPLET_MARGIN must sit at ~20% of
+# the feature-distance scale (loss_comp/l3 in the metrics JSONL);
+# channel-aware aggregation; LR 1e-4; gradient clip 1.0.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+MARGIN="${MARGIN:-0.02}"
+EPOCHS="${EPOCHS:-5}"
+
+if [ ! -f aux_pds.npz ]; then
+  echo "=== stage 1: gradpds extractor ==="
+  python tools/pretrain_aux.py --pretext gradpds --steps 2500 \
+      --out aux_pds.npz
+fi
+
+if [ ! -d log/zeng-orig-pdscoco-lr-1e-3 ]; then
+  echo "=== stage 2: supervised warm start (zeng-orig PDS, 3 epochs) ==="
+  python train.py --config_file config/pds-coco/zeng-orig-lr-1e-3.yaml \
+      --synthetic --epochs 3
+fi
+
+echo "=== stage 3: zeng-bihome PDS from warm start ==="
+# Fresh start: MODEL.PRETRAINED only applies at step 0 (an existing
+# checkpoint in the logdir would resume instead of warm-starting).
+rm -rf log/zeng-bihome-pdscoco-lr-1e-3
+python train.py --config_file config/pds-coco/zeng-bihome-lr-1e-3.yaml \
+    --synthetic --epochs "$EPOCHS" \
+    --set MODEL.PRETRAINED=log/zeng-orig-pdscoco-lr-1e-3 \
+    --set MODEL.HEAD.AUXILIARY_RESNET_PATH=aux_pds.npz \
+    --set MODEL.HEAD.TRIPLET_AGGREGATION=channel-aware \
+    --set "MODEL.HEAD.TRIPLET_MARGIN=$MARGIN" \
+    --set SOLVER.GRADIENT_CLIP=1.0 \
+    --set SOLVER.LR=1e-4
