@@ -97,6 +97,14 @@ def bench_config(config_path: str, batch: int, steps: int, unroll: int,
     state = step_fn(state, pool, rng)
     jax.block_until_ready(state.params)
 
+    # BENCH_PROFILE=<dir>: capture a profiler trace of one timed dispatch
+    # (tensorboard-viewable; parse the .trace.json.gz top ops for the
+    # per-op step breakdown).
+    if os.environ.get('BENCH_PROFILE'):
+        with jax.profiler.trace(os.environ['BENCH_PROFILE']):
+            state = step_fn(state, pool, rng)
+            jax.block_until_ready(state.params)
+
     t0 = time.perf_counter()
     for _ in range(steps):
         state = step_fn(state, pool, rng)

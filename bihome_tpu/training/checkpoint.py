@@ -114,3 +114,32 @@ def load_pretrained_params(path: str, state: TrainState) -> TrainState:
     print(f'Pretrained: {stats[0]} tensors loaded, {stats[1]} shape-skipped '
           f'from {path}')
     return state.replace(params=params, batch_stats=batch_stats)
+
+def load_weights_only(path: str, state: TrainState
+                      ) -> Tuple[TrainState, int]:
+    """Restore params/batch_stats (+step) from a checkpoint, ignoring the
+    optimizer state entirely.
+
+    The inference loader: eval.py needs no opt_state, and skipping it makes
+    evaluation independent of the SOLVER configuration the checkpoint was
+    trained with AND of the optimizer-state pytree layout of the code that
+    wrote it (the reference analog: eval builds no optimizer at all,
+    ref: eval.py:425-474)."""
+    item_dir = resolve_checkpoint_dir(path)
+    raw = ocp.StandardCheckpointer().restore(item_dir)
+    raw = dict(raw) if not isinstance(raw, dict) else raw
+    stats = [0, 0]
+    params = _merge_matching(state.params, raw.get('params', {}), stats)
+    batch_stats = _merge_matching(state.batch_stats,
+                                  raw.get('batch_stats', {}), stats)
+    if stats[1]:
+        print(f'load_weights_only: {stats[1]} shape-mismatched tensors '
+              f'kept from the template (loaded {stats[0]})')
+    step_dir = os.path.basename(os.path.dirname(item_dir)
+                                if os.path.basename(item_dir) == 'default'
+                                else item_dir)
+    try:
+        step = int(step_dir.split('_')[1])
+    except (IndexError, ValueError):
+        step = int(np.asarray(raw.get('step', 0)))
+    return state.replace(params=params, batch_stats=batch_stats), step

@@ -43,6 +43,11 @@ def make_optimizer(lr: float, milestones, decay: float,
         chain.append(optax.add_decayed_weights(weight_decay))
     chain.append(optax.scale_by_adam(b1=beta1, b2=beta2, eps=1e-8))
     chain.append(optax.scale_by_learning_rate(schedule))
+    # NOT optax.flatten: measured SLOWER (detone-orig batch 128:
+    # 10,352 -> 7,654 pairs/s). The per-layer update fusions cost ~2.2
+    # ms/step of launch overhead, but flatten replaces them with a ~110-way
+    # ravel concat + ~110 unflatten slices — MORE small ops under this
+    # runtime's flat per-op tax. See BENCH_NOTES.md round-2 profile notes.
     trainable_tx = optax.chain(*chain)
 
     def label_fn(params):

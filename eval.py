@@ -123,14 +123,14 @@ def main(args):
         print(f'Loaded reference torch checkpoint step {step} '
               f'from {args.torch_ckpt}')
     elif args.ckpt:
-        checkpointer = ckpt_lib.CheckPointer(args.ckpt)
-        state, step = checkpointer.load(state)
+        state, step = ckpt_lib.load_weights_only(args.ckpt, state)
         print(f'Loaded checkpoint step {step} from {args.ckpt}')
     else:
-        checkpointer = ckpt_lib.CheckPointer(config['LOGGING']['DIR'])
-        state, step = checkpointer.load(state)
-        if step:
-            print(f'Loaded latest checkpoint step {step}')
+        log_dir = config['LOGGING']['DIR']
+        if os.path.isdir(log_dir):
+            state, step = ckpt_lib.load_weights_only(log_dir, state)
+            if step:
+                print(f'Loaded latest checkpoint step {step}')
 
     gen = jax.jit(pipeline.generate_pairs, static_argnums=2)
     predict = jax.jit(trainer_lib.make_predict_step(built))
