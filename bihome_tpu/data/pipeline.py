@@ -293,6 +293,11 @@ def take_images(pool: Array, idx: Array) -> Array:
     flat = pool.reshape(n, -1)
     out = jnp.dot(oh, flat.astype(jnp.bfloat16),
                   preferred_element_type=jnp.float32)
+    if jnp.issubdtype(pool.dtype, jnp.integer):
+        # Keep the dot's f32 output: every consumer (generate_pairs)
+        # immediately converts to f32 anyway, so the uint8 round-trip
+        # would only add a cast + layout copies of the full image batch.
+        return out.reshape((idx.shape[0],) + pool.shape[1:])
     return out.astype(pool.dtype).reshape((idx.shape[0],) + pool.shape[1:])
 
 

@@ -308,23 +308,30 @@ class AssembledModel(nn.Module):
         (ref: PerceptualHead.py:125-205). pf: [B,h,w,2] NHWC."""
         cfg = self.head
         b, h, w, _ = pf.shape
-        ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
-                              jnp.arange(w, dtype=jnp.float32), indexing='ij')
-        coords = jnp.stack([xs.reshape(-1), ys.reshape(-1)], -1)  # [N,2]
-        coords = jnp.broadcast_to(coords[None], (b, h * w, 2))
-        mapping = coords + pf.reshape(b, -1, 2)
         key = self.make_rng('dsac')
-        hyps = dsac_lib.sample_hypotheses(
-            coords, mapping, key, cfg.hypothesis_no,
-            cfg.points_per_hypothesis, cfg.dsac_point_sampling)  # [B,n,3,3]
         if cfg.hypothesis_no == 1 and cfg.scoring_method != 'score_cnn':
             # softmax(-s) over a single hypothesis is identically [1.0]
             # with zero gradient into s, so scoring all H*W points
             # (ref: ransac_utils.py:77-126) is pure dead compute — skip it.
             # Exact, not a divergence; saves ~3 ms/step on zeng-bihome.
             # (score_cnn mode still runs so its params exist for ports.)
+            # Without scoring, only the sampled points are ever read, so
+            # the full [B,H*W,2] mapping tensor is skipped too
+            # (dsac.sample_hypotheses_from_pf — same values, same PRNG).
+            hyps = dsac_lib.sample_hypotheses_from_pf(
+                pf, key, cfg.hypothesis_no, cfg.points_per_hypothesis,
+                cfg.dsac_point_sampling)                         # [B,n,3,3]
             scores = jnp.ones((b, 1), pf.dtype)
         else:
+            ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                                  jnp.arange(w, dtype=jnp.float32),
+                                  indexing='ij')
+            coords = jnp.stack([xs.reshape(-1), ys.reshape(-1)], -1)  # [N,2]
+            coords = jnp.broadcast_to(coords[None], (b, h * w, 2))
+            mapping = coords + pf.reshape(b, -1, 2)
+            hyps = dsac_lib.sample_hypotheses(
+                coords, mapping, key, cfg.hypothesis_no,
+                cfg.points_per_hypothesis, cfg.dsac_point_sampling)
             score_fn = None
             if cfg.scoring_method == 'score_cnn':
                 def score_fn(img):

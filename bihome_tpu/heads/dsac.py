@@ -33,7 +33,19 @@ def sample_hypotheses(points1: Array, points2: Array, key: Array,
     uniformly.
     """
     b, n_points, _ = points1.shape
-    shape = (b, hypothesis_no * points_per_hypothesis)
+    idx = sample_point_indices(key, (b, hypothesis_no * points_per_hypothesis),
+                               n_points, point_sampling)
+    p1 = jnp.take_along_axis(points1, idx[..., None], axis=1)
+    p2 = jnp.take_along_axis(points2, idx[..., None], axis=1)
+    p1 = p1.reshape(b * hypothesis_no, points_per_hypothesis, 2)
+    p2 = p2.reshape(b * hypothesis_no, points_per_hypothesis, 2)
+    h = geometry.find_homography_dlt(p1, p2)
+    return h.reshape(b, hypothesis_no, 3, 3)
+
+
+def sample_point_indices(key: Array, shape, n_points: int,
+                         point_sampling: str) -> Array:
+    """Draw DSAC point indices (see :func:`sample_hypotheses`)."""
     if point_sampling == 'reference-weighted':
         # P(i) ∝ i for i in [1, N-1]; index 0 never drawn (the reference's
         # torch.multinomial(arange(N)) quirk). The CDF is analytic —
@@ -43,18 +55,37 @@ def sample_hypotheses(points1: Array, points2: Array, key: Array,
         u = jax.random.uniform(key, shape, dtype=jnp.float32)
         # smallest k with k(k+1) >= u·(N-1)N  ->  k = ceil((-1+sqrt(1+4uT))/2)
         k = jnp.ceil((jnp.sqrt(1.0 + 4.0 * u * total) - 1.0) / 2.0)
-        idx = jnp.clip(k.astype(jnp.int32), 1, n_points - 1)
-    elif point_sampling == 'uniform':
-        idx = jax.random.randint(key, shape, 0, n_points)
-    else:
-        raise ValueError(point_sampling)
+        return jnp.clip(k.astype(jnp.int32), 1, n_points - 1)
+    if point_sampling == 'uniform':
+        return jax.random.randint(key, shape, 0, n_points)
+    raise ValueError(point_sampling)
 
-    p1 = jnp.take_along_axis(points1, idx[..., None], axis=1)
-    p2 = jnp.take_along_axis(points2, idx[..., None], axis=1)
+
+def sample_hypotheses_from_pf(pf: Array, key: Array, hypothesis_no: int,
+                              points_per_hypothesis: int,
+                              point_sampling: str) -> Array:
+    """Like :func:`sample_hypotheses` on (coords, coords+pf), but gathers
+    the perspective field FIRST and reconstructs the sampled coordinates
+    from the index arithmetic — identical values (mapping[i] =
+    coords[i] + pf[i] pointwise), without putting the full [B,H*W,2]
+    mapping tensor in the graph. End-to-end throughput at batch 64 is
+    unchanged (XLA's gather fusion already avoided materializing the
+    mapping); kept for the smaller graph and because it makes the
+    no-scoring fast path self-contained. pf: [B,h,w,2] NHWC ->
+    [B,n,3,3]."""
+    b, h, w, _ = pf.shape
+    n_points = h * w
+    idx = sample_point_indices(key, (b, hypothesis_no * points_per_hypothesis),
+                               n_points, point_sampling)
+    sel = jnp.take_along_axis(pf.reshape(b, n_points, 2), idx[..., None],
+                              axis=1)
+    p1 = jnp.stack([(idx % w).astype(jnp.float32),
+                    (idx // w).astype(jnp.float32)], axis=-1)
+    p2 = p1 + sel
     p1 = p1.reshape(b * hypothesis_no, points_per_hypothesis, 2)
     p2 = p2.reshape(b * hypothesis_no, points_per_hypothesis, 2)
-    h = geometry.find_homography_dlt(p1, p2)
-    return h.reshape(b, hypothesis_no, 3, 3)
+    return geometry.find_homography_dlt(p1, p2).reshape(
+        b, hypothesis_no, 3, 3)
 
 
 def score_hypotheses(points1: Array, points2: Array, homographies: Array,

@@ -323,3 +323,24 @@ def test_dsac_reference_weighted_sampling_distribution():
         emp = (idx <= q).mean()
         ana = q * (q + 1) / ((n - 1) * n)
         assert abs(emp - ana) < 0.01, (q, emp, ana)
+
+
+def test_dsac_sample_from_pf_matches_full_mapping():
+    # The gather-first fast path must reproduce sample_hypotheses on
+    # (coords, coords + pf) exactly: same PRNG consumption, same indices,
+    # same reconstructed coordinates, same homographies.
+    from bihome_tpu.heads import dsac as dsac_lib
+    import jax
+    b, h, w = 3, 8, 11
+    key = jax.random.PRNGKey(7)
+    pf = jax.random.normal(jax.random.PRNGKey(1), (b, h, w, 2)) * 3.0
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing='ij')
+    coords = jnp.stack([xs.reshape(-1), ys.reshape(-1)], -1)
+    coords = jnp.broadcast_to(coords[None], (b, h * w, 2))
+    mapping = coords + pf.reshape(b, -1, 2)
+    for sampling in ('reference-weighted', 'uniform'):
+        full = dsac_lib.sample_hypotheses(coords, mapping, key, 5, 4, sampling)
+        fast = dsac_lib.sample_hypotheses_from_pf(pf, key, 5, 4, sampling)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(fast),
+                                   rtol=1e-5, atol=1e-5)

@@ -200,6 +200,34 @@ class TestCheckpoint:
         assert int(restored_lr.step) == 0
         ckptr.close()
 
+    def test_weights_only_restore_ignores_optimizer_layout(self, tmp_path):
+        """eval.py's loader: restores params/batch_stats + step from a
+        checkpoint written with a DIFFERENT optimizer configuration (the
+        opt_state pytree does not participate at all)."""
+        from bihome_tpu.training import checkpoint as ckpt_lib
+        built = tiny_built()
+        imgs = np.asarray(images(2))
+        variables = trainer_lib.init_model(built, imgs)
+        tx_clip, _ = ts_lib.make_optimizer(lr=1e-3, milestones=[10],
+                                           decay=0.1, gradient_clip=1.0)
+        state = ts_lib.create_train_state(variables, tx_clip)
+        ckptr = ckpt_lib.CheckPointer(str(tmp_path / 'log'))
+        ckptr.save(4200, jax.device_get(state))
+        ckptr.close()
+
+        # Template built WITHOUT clip: opt_state layout differs from the
+        # checkpoint's; the full restore would reject it.
+        tx_plain, _ = ts_lib.make_optimizer(lr=1e-3, milestones=[10],
+                                            decay=0.1)
+        template = ts_lib.create_train_state(
+            trainer_lib.init_model(built, imgs, seed=9), tx_plain)
+        restored, step = ckpt_lib.load_weights_only(
+            str(tmp_path / 'log'), template)
+        assert step == 4200
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_pretrained_partial_merge(self, tmp_path):
         """MODEL.PRETRAINED warm-start across architectures: leaves copy
         where key path + shape match; extra subtrees (frozen aux resnet)
