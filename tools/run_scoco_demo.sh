@@ -1,0 +1,37 @@
+#!/usr/bin/env bash
+# S-COCO flagship training-quality demonstration (zeng-biHomE).
+#
+# Same shape as tools/run_pds_demo.sh but on the S-COCO protocol
+# (photometric distortion OFF) with the 'grad' distilled extractor
+# (multi-scale intensity+gradient pyramid — photometric invariance not
+# needed on S-COCO). Stages skip when their artifact exists; stage 2
+# reuses the PDS supervised warm start if present (the reference uses one
+# pretrained backbone across protocols too, ref: train.py:735-742).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+MARGIN="${MARGIN:-0.02}"
+EPOCHS="${EPOCHS:-5}"
+
+if [ ! -f aux_gradnat.npz ]; then
+  echo "=== stage 1: grad extractor (natural-statistics pool) ==="
+  python tools/pretrain_aux.py --pretext grad --steps 2500 \
+      --out aux_gradnat.npz
+fi
+
+if [ ! -d log/zeng-orig-pdscoco-lr-1e-3 ]; then
+  echo "=== stage 2: supervised warm start (zeng-orig PDS, 3 epochs) ==="
+  python train.py --config_file config/pds-coco/zeng-orig-lr-1e-3.yaml \
+      --synthetic --epochs 3
+fi
+
+echo "=== stage 3: zeng-bihome S-COCO from warm start ==="
+rm -rf log/zeng-bihome-scoco-lr-1e-3
+python train.py --config_file config/s-coco/zeng-bihome-lr-1e-3.yaml \
+    --synthetic --epochs "$EPOCHS" \
+    --set MODEL.PRETRAINED=log/zeng-orig-pdscoco-lr-1e-3 \
+    --set MODEL.HEAD.AUXILIARY_RESNET_PATH=aux_gradnat.npz \
+    --set MODEL.HEAD.TRIPLET_AGGREGATION=channel-aware \
+    --set "MODEL.HEAD.TRIPLET_MARGIN=$MARGIN" \
+    --set SOLVER.GRADIENT_CLIP=1.0 \
+    --set SOLVER.LR=1e-4
