@@ -17,6 +17,7 @@ import os
 from typing import Any, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -48,8 +49,29 @@ class CheckPointer:
         step = step if step is not None else self.latest_step()
         if step is None:
             return state_template, 0
-        restored = self.manager.restore(
-            step, args=ocp.args.StandardRestore(state_template))
+        try:
+            restored = self.manager.restore(
+                step, args=ocp.args.StandardRestore(state_template))
+        except ValueError:
+            # The opt_state pytree layout changed since the checkpoint was
+            # written (e.g. SOLVER.GRADIENT_CLIP added/removed alters the
+            # optax chain). The reference survives such config edits because
+            # clipping is not optimizer state in torch (ref: train.py:392-398,
+            # src/utils/checkpoint.py:67-75); match that robustness by
+            # restoring weights + step and starting the optimizer fresh.
+            cands = [d for d in os.listdir(self.directory)
+                     if d.startswith('model_')
+                     and d.split('_')[1].isdigit()
+                     and int(d.split('_')[1]) == int(step)]
+            if not cands:
+                raise
+            print(f'CheckPointer: optimizer-state layout of step {step} does '
+                  'not match the current SOLVER config; resuming weights-only '
+                  'with a fresh optimizer state.')
+            restored, _ = load_weights_only(
+                os.path.join(self.directory, cands[0]), state_template)
+            restored = restored.replace(
+                step=jnp.asarray(step, state_template.step.dtype))
         if restart_learning_rate:
             restored = restored.replace(opt_state=state_template.opt_state,
                                         step=state_template.step)

@@ -228,6 +228,34 @@ class TestCheckpoint:
                         jax.tree_util.tree_leaves(restored.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_resume_survives_optimizer_layout_change(self, tmp_path):
+        """Auto-resume after a SOLVER edit that changes the optax chain
+        (e.g. adding/removing GRADIENT_CLIP) falls back to weights+step
+        with a fresh optimizer instead of crashing (reference analog:
+        clipping is not optimizer state in torch)."""
+        from bihome_tpu.training import checkpoint as ckpt_lib
+        built = tiny_built()
+        imgs = np.asarray(images(2))
+        variables = trainer_lib.init_model(built, imgs)
+        tx_clip, _ = ts_lib.make_optimizer(lr=1e-3, milestones=[10],
+                                           decay=0.1, gradient_clip=1.0)
+        state = ts_lib.create_train_state(variables, tx_clip)
+        ckptr = ckpt_lib.CheckPointer(str(tmp_path / 'log'))
+        ckptr.save(777, jax.device_get(state))
+        ckptr.close()
+
+        tx_plain, _ = ts_lib.make_optimizer(lr=1e-3, milestones=[10],
+                                            decay=0.1)
+        template = ts_lib.create_train_state(
+            trainer_lib.init_model(built, imgs, seed=9), tx_plain)
+        ckptr2 = ckpt_lib.CheckPointer(str(tmp_path / 'log'))
+        restored, step = ckptr2.load(template)
+        ckptr2.close()
+        assert step == 777 and int(restored.step) == 777
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_pretrained_partial_merge(self, tmp_path):
         """MODEL.PRETRAINED warm-start across architectures: leaves copy
         where key path + shape match; extra subtrees (frozen aux resnet)
