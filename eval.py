@@ -254,4 +254,12 @@ if __name__ == '__main__':
                         metavar='KEY=VALUE',
                         help='dotted config override, e.g. '
                              'MODEL.HEAD.AUXILIARY_RESNET_PATH=aux.npz')
-    main(parser.parse_args())
+    parser.add_argument('--multihost', action='store_true',
+                        help='initialize the JAX distributed runtime '
+                             '(multi-host pod execution; per-sample maces '
+                             'are process_allgather-reduced to rank 0)')
+    _args = parser.parse_args()
+    if _args.multihost:
+        import jax
+        jax.distributed.initialize()
+    main(_args)

@@ -400,4 +400,13 @@ if __name__ == '__main__':
                         metavar='KEY=VALUE',
                         help='dotted config override, e.g. '
                              'MODEL.HEAD.AUXILIARY_RESNET_PATH=aux.npz')
-    main(parser.parse_args())
+    parser.add_argument('--multihost', action='store_true',
+                        help='initialize the JAX distributed runtime '
+                             '(multi-host pod execution: one process per '
+                             'host, auto-discovered coordinator on TPU; '
+                             'the mesh then spans all hosts and gradient '
+                             'all-reduce rides ICI/DCN)')
+    _args = parser.parse_args()
+    if _args.multihost:
+        jax.distributed.initialize()
+    main(_args)
