@@ -23,9 +23,13 @@ Approach:
     dmid = gamma*is*(da - mean(da) - n*mean(da*n)) and produces dx/dw1/db1.
 
 Semantics match the plain composition (nn.Conv 1x1 -> nn.BatchNorm ->
-relu -> nn.Conv 1x1) exactly up to f32 accumulation order; the reference
-(non-Pallas) composition lives in models/backbones.py and is used on
-non-TPU backends.
+relu -> nn.Conv 1x1); the reference (non-Pallas) composition lives in
+models/backbones.py and is used on non-TPU backends. Numerics note: TPU
+matmuls at default precision round f32 operands through bf16 MXU passes,
+and this kernel additionally folds the BN scale into w1, so fused-vs-plain
+outputs differ at bf16-epsilon relative scale (measured ~2.5% max on
+random inputs; ~1px on DSAC deltas after solve amplification) — both are
+equally valid roundings of the same f32 math.
 """
 
 from __future__ import annotations
