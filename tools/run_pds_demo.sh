@@ -38,7 +38,10 @@ fi
 echo "=== stage 3: zeng-bihome PDS from warm start ==="
 # Fresh start: MODEL.PRETRAINED only applies at step 0 (an existing
 # checkpoint in the logdir would resume instead of warm-starting).
-rm -rf log/zeng-bihome-pdscoco-lr-1e-3
+# RESUME=1 extends an existing run to a higher EPOCHS via auto-resume.
+if [ "${RESUME:-0}" != "1" ]; then
+  rm -rf log/zeng-bihome-pdscoco-lr-1e-3
+fi
 python train.py --config_file config/pds-coco/zeng-bihome-lr-1e-3.yaml \
     --synthetic --epochs "$EPOCHS" \
     --set MODEL.PRETRAINED=log/zeng-orig-pdscoco-lr-1e-3 \

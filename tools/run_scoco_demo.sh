@@ -26,7 +26,11 @@ if [ ! -d log/zeng-orig-pdscoco-lr-1e-3 ]; then
 fi
 
 echo "=== stage 3: zeng-bihome S-COCO from warm start ==="
-rm -rf log/zeng-bihome-scoco-lr-1e-3
+# RESUME=1 extends an existing run to a higher EPOCHS via auto-resume
+# (e.g. EPOCHS=10 RESUME=1 after a 5-epoch run) instead of retraining.
+if [ "${RESUME:-0}" != "1" ]; then
+  rm -rf log/zeng-bihome-scoco-lr-1e-3
+fi
 python train.py --config_file config/s-coco/zeng-bihome-lr-1e-3.yaml \
     --synthetic --epochs "$EPOCHS" \
     --set MODEL.PRETRAINED=log/zeng-orig-pdscoco-lr-1e-3 \
