@@ -6,6 +6,8 @@ live predict_homography chain exactly (ref: eval.py:21-28).
 """
 
 import os
+import subprocess
+import sys
 
 import jax
 import numpy as np
@@ -61,6 +63,26 @@ class TestServingExport:
         ps = built.test_pair_spec.patch_size
         assert serving.exported_input_shapes(path) == (
             (2, ps, ps, 1), (2, ps, ps, 1))
+
+    def test_export_cli(self, tmp_path):
+        """tools/export_model.py end-to-end on CPU (random init — no
+        checkpoint in the test env): exports, self-checks, writes the
+        artifact."""
+        out = str(tmp_path / 'cli.shlo')
+        env = dict(os.environ)
+        env['JAX_PLATFORMS'] = 'cpu'
+        env.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
+        env.pop('XLA_FLAGS', None)
+        proc = subprocess.run(
+            [sys.executable, 'tools/export_model.py',
+             '--config_file', CONFIG, '--out', out, '--batch_size', '2',
+             '--platforms', 'cpu', '--check',
+             '--set', f'LOGGING.DIR={tmp_path / "nolog"}'],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=540)
+        assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+        assert 'check: max |exported - live|' in proc.stdout
+        assert serving.exported_input_shapes(out) == (
+            (2, 128, 128, 1), (2, 128, 128, 1))
 
     def test_weights_are_embedded(self, built_state, tmp_path):
         """Artifact output must change when weights change (no silent
