@@ -15,7 +15,7 @@ and carry the input signature; the serialized form is the versioned
 StableHLO bytecode produced by ``jax.export.Exported.serialize``.
 """
 
-from typing import Sequence, Tuple
+from typing import Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,8 @@ from jax import export as jax_export
 from bihome_tpu import geometry
 
 
-def make_serving_fn(built, state, batch_size: int, rng_seed: int = 0):
+def make_serving_fn(built, state, batch_size: Union[int, str],
+                    rng_seed: int = 0):
     """A pure ``(patch_1, patch_2) -> delta_hat`` closure over trained
     weights, following the predict_homography chain (ref: eval.py:21-28).
 
@@ -33,25 +34,36 @@ def make_serving_fn(built, state, batch_size: int, rng_seed: int = 0):
     homography's translation does. Stochastic predict paths (DSAC sampling,
     RANSAC postprocess) run under a fixed PRNG key so serving is
     deterministic; also returns the input ShapeDtypeStructs for export.
+
+    ``batch_size`` may be a symbolic-dimension NAME (e.g. ``'b'``): the
+    exported artifact then accepts any leading batch dimension (shape
+    polymorphism, jax.export.symbolic_shape) instead of one fixed size.
     """
     from bihome_tpu.training import trainer as trainer_lib
 
     predict_fn = trainer_lib.make_predict_step(built)
     ps = built.test_pair_spec.patch_size
-    corners = geometry.image_corners(ps, ps, batch_size=batch_size)
     rng = jax.random.PRNGKey(rng_seed)
 
     def serve(patch_1, patch_2):
+        # Corners derive from the runtime batch dim so the same trace
+        # serves fixed and symbolic batch sizes.
+        corners = geometry.image_corners(ps, ps,
+                                         batch_size=patch_1.shape[0])
         batch = {'patch_1': patch_1, 'patch_2': patch_2, 'corners': corners}
         delta_hat, _ = predict_fn(state, batch, rng)
-        return delta_hat.reshape(batch_size, 4, 2)
+        return delta_hat.reshape(patch_1.shape[0], 4, 2)
 
     n_ch = 1 if built.test_pair_spec.grayscale_keys else 3
-    spec = jax.ShapeDtypeStruct((batch_size, ps, ps, n_ch), jnp.float32)
+    if isinstance(batch_size, str):
+        batch_dim, = jax_export.symbolic_shape(batch_size)
+    else:
+        batch_dim = batch_size
+    spec = jax.ShapeDtypeStruct((batch_dim, ps, ps, n_ch), jnp.float32)
     return serve, (spec, spec)
 
 
-def export_predict(built, state, batch_size: int = 1,
+def export_predict(built, state, batch_size: Union[int, str] = 1,
                    platforms: Sequence[str] = ('cpu', 'tpu'),
                    rng_seed: int = 0) -> jax_export.Exported:
     """AOT-export the predict function with weights baked in.
@@ -62,6 +74,9 @@ def export_predict(built, state, batch_size: int = 1,
     (BIHOME_PF_HEAD=ref — same parameters and math as the fused Pallas
     kernel, which only lowers for TPU; see models/backbones.PFHead). A
     TPU-only export keeps the fused kernel.
+
+    ``batch_size='b'`` exports a batch-polymorphic artifact (one trace,
+    any batch size at call time).
     """
     import os
     force_ref = 'cpu' in platforms

@@ -30,6 +30,65 @@ def test_grad_targets_shape_and_range():
     assert float(jnp.std(t)) > 1e-3      # not collapsed
 
 
+def test_warp_gt_identity_and_alignment():
+    """warp_gt(patch_1, gt delta) must align patch_1 to patch_2 — the
+    property the dense-correspondence InfoNCE positives rest on (the head
+    warps patch_1 by delta_hat and compares against patch_2,
+    heads/assembled.py:_multihead_loss/_triplet_resnet_loss)."""
+    import jax
+    from bihome_tpu.data import pipeline
+    x = _patches(b=2)
+    # delta = 0: identity warp, full interior support.
+    w, m = tools.warp_gt(x, jnp.zeros((2, 4, 2)))
+    np.testing.assert_allclose(np.asarray(w), np.asarray(x), atol=1e-4)
+    assert float(jnp.min(m[:, 1:-1, 1:-1])) == 1.0
+    # real generated pair on the natural-statistics pool (the pretext's
+    # actual training data): gt-warp must align patch_1 to patch_2 far
+    # better than no warp, where the warp support is full.
+    from bihome_tpu.data import synthetic
+    spec = pipeline.PairSpec(rho=16, patch_size=128, photometric_keys=(),
+                             max_delta=0.0)
+    imgs = jnp.asarray(synthetic.make_image_pool(2, 240, 320, seed=3)
+                       ).astype(jnp.float32)
+    batch = pipeline.generate_pairs(imgs, jax.random.PRNGKey(0), spec)
+    w1, mask = tools.warp_gt(batch['patch_1'], batch['delta'])
+    full = mask[..., 0] > 0.999
+    err_aligned = jnp.sum(jnp.abs(w1 - batch['patch_2'])[..., 0] * full) \
+        / jnp.sum(full)
+    err_unaligned = jnp.sum(
+        jnp.abs(batch['patch_1'] - batch['patch_2'])[..., 0] * full) \
+        / jnp.sum(full)
+    assert float(err_aligned) < 0.5 * float(err_unaligned)
+
+
+def test_dense_infonce_identity_vs_shuffled():
+    """Aligned identical features -> near-perfect accuracy and low loss;
+    spatially shuffled features -> chance accuracy."""
+    rng = np.random.RandomState(0)
+    f = jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32))
+    valid = jnp.ones((2, 16, 16))
+    loss_id, acc_id = tools.dense_infonce(f, f, valid, tau=0.15, rex=2)
+    assert float(acc_id) > 0.95
+    perm = rng.permutation(16 * 16)
+    f_shuf = f.reshape(2, 256, 8)[:, perm].reshape(2, 16, 16, 8)
+    loss_sh, acc_sh = tools.dense_infonce(f, f_shuf, valid, tau=0.15, rex=2)
+    assert float(acc_sh) < 0.1
+    assert float(loss_id) < float(loss_sh)
+
+
+def test_dense_infonce_masks_invalid_anchors():
+    """Anchors without full warp support must not contribute: zeroing the
+    features at invalid positions must not change the loss."""
+    rng = np.random.RandomState(1)
+    f1 = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+    f2 = f1 + 0.01 * jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+    valid = jnp.ones((1, 8, 8)).at[:, :2, :].set(0.0)
+    l_a, _ = tools.dense_infonce(f1, f2, valid)
+    f1z = f1.at[:, :2, :, :].set(123.0)
+    l_b, _ = tools.dense_infonce(f1z, f2, valid)
+    np.testing.assert_allclose(float(l_a), float(l_b), rtol=1e-5)
+
+
 def test_gradpi_invariant_to_brightness_contrast():
     x = _patches()
     t0 = tools.grad_targets_pi(x)

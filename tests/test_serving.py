@@ -64,6 +64,27 @@ class TestServingExport:
         assert serving.exported_input_shapes(path) == (
             (2, ps, ps, 1), (2, ps, ps, 1))
 
+    def test_symbolic_batch_polymorphic_artifact(self, built_state,
+                                                 tmp_path):
+        """batch_size='b' exports ONE artifact serving any batch size,
+        matching the live model at each concrete size."""
+        built, state = built_state
+        exp = serving.export_predict(built, state, batch_size='b',
+                                     platforms=['cpu'])
+        path = str(tmp_path / 'poly.shlo')
+        serving.save_exported(exp, path)
+        predict = serving.load_exported(path)
+        serve, _ = serving.make_serving_fn(built, state, batch_size=1)
+        ps = built.test_pair_spec.patch_size
+        rng = np.random.RandomState(2)
+        for b in (1, 3):
+            p1 = rng.randn(b, ps, ps, 1).astype(np.float32)
+            p2 = rng.randn(b, ps, ps, 1).astype(np.float32)
+            got = np.asarray(predict(p1, p2))
+            want = np.asarray(jax.jit(serve)(p1, p2))
+            assert got.shape == (b, 4, 2)
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
     def test_export_cli(self, tmp_path):
         """tools/export_model.py end-to-end on CPU (random init — no
         checkpoint in the test env): exports, self-checks, writes the

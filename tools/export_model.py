@@ -4,7 +4,10 @@ artifact (see bihome_tpu/serving.py).
 
     python tools/export_model.py --config_file config/...yaml \
         [--ckpt LOGDIR_OR_STEP] [--set K=V ...] \
-        [--batch_size N] [--platforms cpu tpu] [--check] --out model.shlo
+        [--batch_size N|b] [--platforms cpu tpu] [--check] --out model.shlo
+
+``--batch_size b`` (any non-integer name) exports a batch-polymorphic
+artifact: one trace, any leading batch dimension at call time.
 
 The artifact embeds the weights; serve it from any JAX process with:
 
@@ -48,8 +51,14 @@ def main(args):
     built = config_lib.build_model(config)
     tx, _ = ts_lib.make_optimizer(**config_lib.solver_kwargs(config))
 
+    # --batch_size is an int, or a symbolic dim name (e.g. 'b') for a
+    # batch-polymorphic artifact; concrete work below uses `check_batch`.
+    symbolic = not args.batch_size.lstrip('-').isdigit()
+    batch_size = args.batch_size if symbolic else int(args.batch_size)
+    check_batch = 4 if symbolic else max(int(args.batch_size), 1)
+
     ds = datasets.SyntheticDataset(image_size=(320, 240), seed=1)
-    sample = np.stack([ds.load_image(0)] * max(args.batch_size, 1))
+    sample = np.stack([ds.load_image(0)] * check_batch)
     variables = trainer_lib.init_model(built, sample)
     state = ts_lib.create_train_state(variables, tx)
 
@@ -62,7 +71,7 @@ def main(args):
     else:
         print('WARNING: no checkpoint found; exporting random init')
 
-    exp = serving.export_predict(built, state, batch_size=args.batch_size,
+    exp = serving.export_predict(built, state, batch_size=batch_size,
                                  platforms=args.platforms,
                                  rng_seed=args.rng_seed)
     serving.save_exported(exp, args.out)
@@ -84,10 +93,10 @@ def main(args):
         predict = serving.load_exported(args.out)
         if 'cpu' in args.platforms:
             os.environ['BIHOME_PF_HEAD'] = 'ref'
-        serve, _ = serving.make_serving_fn(built, state, args.batch_size,
+        serve, _ = serving.make_serving_fn(built, state, check_batch,
                                            rng_seed=args.rng_seed)
         pool = jnp.asarray(np.stack(
-            [ds.load_image(i) for i in range(args.batch_size)]))
+            [ds.load_image(i) for i in range(check_batch)]))
         batch = jax.jit(pipeline.generate_pairs, static_argnums=2)(
             pool, jax.random.PRNGKey(0), built.test_pair_spec)
         p1 = np.asarray(batch['patch_1'], np.float32)
@@ -106,7 +115,9 @@ if __name__ == '__main__':
     parser.add_argument('--config_file', type=str, required=True)
     parser.add_argument('--ckpt', type=str, default='')
     parser.add_argument('--out', type=str, default='model.shlo')
-    parser.add_argument('--batch_size', type=int, default=1)
+    parser.add_argument('--batch_size', type=str, default='1',
+                        help="int, or a symbolic dim name (e.g. 'b') for a "
+                             'batch-polymorphic artifact')
     parser.add_argument('--platforms', type=str, nargs='+',
                         default=['cpu', 'tpu'])
     parser.add_argument('--rng_seed', type=int, default=0)

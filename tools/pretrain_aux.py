@@ -21,6 +21,18 @@ accepts. Two pretexts:
         run through the FULL PDS PhotometricDistortSimple chain on RGB —
         directly optimizes invariance to the PDS-COCO nuisance
         (requires the natural-statistics pool, data/synthetic.py).
+  gradcl: grad distillation PLUS a dense-correspondence InfoNCE term:
+        patch_2 is warped by the GROUND-TRUTH delta (exactly the head's
+        loss-warp at convergence, heads/assembled.py:_warp_with_support)
+        and each feature-grid position of F(patch_1) must match the
+        corresponding position of F(warp_gt(patch_2)) against all other
+        positions. This trains the full 64-dim feature space as an
+        alignment metric — the distill-only targets have intrinsic rank
+        ~12, which set the round-2 flagship MACE floor (BENCH_NOTES.md).
+  gradpdscl: gradcl with the full PDS photometric chain applied
+        independently to both views (photometric invariance and
+        geometric correspondence learned jointly); distill term uses the
+        PI targets at reduced weight.
 
     python tools/pretrain_aux.py --pretext grad --steps 2500 --out aux.npz
 """
@@ -129,12 +141,87 @@ def grad_targets_pi(x):
     return jnp.tanh(t @ proj)
 
 
+def dense_infonce(f1, f2, valid, tau=0.15, rex=2):
+    """Dense-correspondence InfoNCE between two ALIGNED feature maps.
+
+    f1, f2: [B,Hf,Wf,C] — f2 comes from the gt-warped second patch, so
+    position (i,j) in f2 shows the same scene content as (i,j) in f1.
+    valid: [B,Hf,Wf] in [0,1] — warp-support weight per position.
+
+    Per sample, cosine-similarity logits between all Hf*Wf positions of f1
+    (anchors) and f2 (candidates); the positive is the same position, and
+    spatial neighbors within Chebyshev radius ``rex`` are excluded from
+    the negatives (their receptive fields overlap the positive's — pushing
+    them apart would force high-frequency features and a narrow basin).
+    Positions without full warp support are dropped as anchors and masked
+    out as candidates. Symmetrized over the two directions.
+
+    Returns (loss, acc): mean -log p(positive), and the fraction of valid
+    anchors whose argmax candidate is the true position.
+    """
+    b, hf, wf, c = f1.shape
+    p = hf * wf
+    n1 = f1.reshape(b, p, c).astype(jnp.float32)
+    n2 = f2.reshape(b, p, c).astype(jnp.float32)
+    n1 = n1 / (jnp.linalg.norm(n1, axis=-1, keepdims=True) + 1e-6)
+    n2 = n2 / (jnp.linalg.norm(n2, axis=-1, keepdims=True) + 1e-6)
+    sim = jnp.einsum('bpc,bqc->bpq', n1, n2,
+                     preferred_element_type=jnp.float32) / tau   # [B,P,P]
+
+    ii, jj = jnp.meshgrid(jnp.arange(hf), jnp.arange(wf), indexing='ij')
+    pos = jnp.stack([ii.reshape(-1), jj.reshape(-1)], axis=-1)   # [P,2]
+    cheb = jnp.max(jnp.abs(pos[:, None, :] - pos[None, :, :]), axis=-1)
+    neigh = (cheb <= rex) & (cheb > 0)                           # [P,P]
+
+    vflat = valid.reshape(b, p)
+    w = (vflat > 0.999).astype(jnp.float32)                      # anchors
+    # Mask: neighbours and invalid candidates leave the denominator; the
+    # positive (diagonal) always stays.
+    excl = (neigh[None] | (vflat[:, None, :] < 0.999)) & \
+        ~jnp.eye(p, dtype=bool)[None]
+    logits = jnp.where(excl, -1e9, sim)
+
+    def one_dir(lg):
+        lse = jax.nn.logsumexp(lg, axis=-1)                      # [B,P]
+        diag = jnp.einsum('bpp->bp', lg)
+        loss = jnp.sum((lse - diag) * w) / (jnp.sum(w) + 1e-6)
+        acc = jnp.sum((jnp.argmax(lg, -1) == jnp.arange(p)[None]) * w) \
+            / (jnp.sum(w) + 1e-6)
+        return loss, acc
+
+    la, aa = one_dir(logits)
+    lb, ab = one_dir(jnp.where(excl, -1e9, sim.transpose(0, 2, 1)))
+    return 0.5 * (la + lb), 0.5 * (aa + ab)
+
+
+def warp_gt(patch_2, delta):
+    """Warp patch_2 by the ground-truth delta exactly as the biHomE head
+    warps it by delta_hat (heads/assembled.py:_warp_with_support), plus the
+    closed-form support mask."""
+    b, h, w = patch_2.shape[0], patch_2.shape[1], patch_2.shape[2]
+    corners = geometry.image_corners(h, w, batch_size=b, dtype=jnp.float32)
+    homography = geometry.four_point_to_homography(corners, delta)
+    u, v = geometry.homography_grid(homography, (h, w))
+    warped = geometry.batched_sample(patch_2, u, v).reshape(patch_2.shape)
+    mask = geometry.ones_warp_mask(u, v, (h, w)).reshape(b, h, w, 1)
+    return warped, mask
+
+
 def main(args):
     out_layer = 1 if args.pretext.startswith('grad') else None
     model = ResNet(arch='resnet34', num_classes=4, output_layer=out_layer,
                    dtype=jnp.bfloat16)
+    is_cl = args.pretext.endswith('cl')
     spec = pipeline.PairSpec(rho=32, patch_size=128, photometric_keys=(),
                              max_delta=0.0)
+    # cl variants draw REAL homography pairs through the standard datagen;
+    # gradpdscl additionally runs the full PDS photometric chain on both
+    # views independently (invariance learned by the contrastive term).
+    cl_spec = pipeline.PairSpec(
+        rho=32, patch_size=128,
+        photometric_keys=(('image_1', 'image_2')
+                          if args.pretext == 'gradpdscl' else ()),
+        max_delta=32.0 if args.pretext == 'gradpdscl' else 0.0)
     pool = jnp.asarray(synthetic.make_image_pool(args.pool, 240, 320,
                                                  seed=args.seed))
 
@@ -195,18 +282,48 @@ def main(args):
             return c * (x + b), target
         return x, grad_targets(x)
 
+    def make_cl_batch(key):
+        """Two views in correspondence: warp_gt(patch_1, delta) aligns
+        patch_1 to patch_2 (the head's loss-warp convention — it warps
+        patch_1 by delta_hat and compares against patch_2,
+        heads/assembled.py:_multihead_loss/_triplet_resnet_loss)."""
+        k_idx, k_gen = jax.random.split(key)
+        idx = jax.random.randint(k_idx, (args.batch,), 0, pool.shape[0])
+        batch = pipeline.generate_pairs(pipeline.take_images(pool, idx),
+                                        k_gen, cl_spec)
+        x2 = batch['patch_2']                                  # [B,128,128,1]
+        w1, mask = warp_gt(batch['patch_1'], batch['delta'])
+        valid = nnavg_pool(mask, 4)[..., 0]                    # [B,32,32]
+        target = (grad_targets_pi(x2) if args.pretext == 'gradpdscl'
+                  else grad_targets(x2))
+        return w1, x2, valid, target
+
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((2, 128, 128, 1)), train=False)
     tx = optax.adam(args.lr)
     opt_state = tx.init(variables['params'])
 
     def train_step(params, batch_stats, opt_state, key):
-        if args.pretext.startswith('grad'):
+        if is_cl:
+            w1, x2, valid, target = make_cl_batch(key)
+        elif args.pretext.startswith('grad'):
             x, target = make_grad_batch(key)
         else:
             x, rot = make_batch(key)
 
         def loss_fn(p):
+            if is_cl:
+                out, mut = model.apply(
+                    {'params': p, 'batch_stats': batch_stats},
+                    jnp.concatenate([w1, x2], axis=0), train=True,
+                    mutable=['batch_stats'])
+                fw1, f2 = jnp.split(out.astype(jnp.float32), 2, axis=0)
+                mse = jnp.mean((f2 - target) ** 2)
+                nce, acc = dense_infonce(fw1, f2, valid, tau=args.tau,
+                                         rex=args.rex)
+                distill_w = 0.25 if args.pretext == 'gradpdscl' else 1.0
+                loss = distill_w * mse + args.cl_weight * nce
+                return loss, (mut['batch_stats'], acc)
             out, mut = model.apply(
                 {'params': p, 'batch_stats': batch_stats}, x, train=True,
                 mutable=['batch_stats'])
@@ -263,7 +380,15 @@ if __name__ == '__main__':
     p.add_argument('--lr', type=float, default=1e-3)
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--out', type=str, default='aux_rotnet.npz')
-    p.add_argument('--pretext', choices=('rotnet', 'grad', 'gradpi', 'gradpds'), default='rotnet',
+    p.add_argument('--cl_weight', type=float, default=0.3,
+                   help='weight of the dense InfoNCE term (cl pretexts)')
+    p.add_argument('--tau', type=float, default=0.15,
+                   help='InfoNCE temperature (cl pretexts)')
+    p.add_argument('--rex', type=int, default=2,
+                   help='neighbor-exclusion Chebyshev radius in feature px')
+    p.add_argument('--pretext', choices=('rotnet', 'grad', 'gradpi',
+                                         'gradpds', 'gradcl', 'gradpdscl'),
+                   default='rotnet',
                    help="'grad': distill fixed multi-scale local-gradient "
                         "features (dense, localizable — alignment-friendly)")
     main(p.parse_args())

@@ -22,6 +22,11 @@ cd "$(dirname "$0")/.."
 
 MARGIN="${MARGIN:-0.02}"
 EPOCHS="${EPOCHS:-5}"
+# AUX / LOGDIR select an alternative frozen extractor + run directory
+# (e.g. AUX=aux_pdscl.npz LOGDIR=log/zeng-bihome-pdscoco-cl for the
+# contrastive-distill extractor); defaults reproduce the recorded demo.
+AUX="${AUX:-aux_pds.npz}"
+LOGDIR="${LOGDIR:-log/zeng-bihome-pdscoco-lr-1e-3}"
 
 if [ ! -f aux_pds.npz ]; then
   echo "=== stage 1: gradpds extractor ==="
@@ -40,12 +45,13 @@ echo "=== stage 3: zeng-bihome PDS from warm start ==="
 # checkpoint in the logdir would resume instead of warm-starting).
 # RESUME=1 extends an existing run to a higher EPOCHS via auto-resume.
 if [ "${RESUME:-0}" != "1" ]; then
-  rm -rf log/zeng-bihome-pdscoco-lr-1e-3
+  rm -rf "$LOGDIR"
 fi
 python train.py --config_file config/pds-coco/zeng-bihome-lr-1e-3.yaml \
     --synthetic --epochs "$EPOCHS" \
+    --set "LOGGING.DIR=$LOGDIR" \
     --set MODEL.PRETRAINED=log/zeng-orig-pdscoco-lr-1e-3 \
-    --set MODEL.HEAD.AUXILIARY_RESNET_PATH=aux_pds.npz \
+    --set "MODEL.HEAD.AUXILIARY_RESNET_PATH=$AUX" \
     --set MODEL.HEAD.TRIPLET_AGGREGATION=channel-aware \
     --set "MODEL.HEAD.TRIPLET_MARGIN=$MARGIN" \
     --set SOLVER.GRADIENT_CLIP=1.0 \

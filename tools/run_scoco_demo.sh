@@ -12,6 +12,11 @@ cd "$(dirname "$0")/.."
 
 MARGIN="${MARGIN:-0.02}"
 EPOCHS="${EPOCHS:-5}"
+# AUX / LOGDIR select an alternative frozen extractor + run directory
+# (e.g. AUX=aux_cl.npz LOGDIR=log/zeng-bihome-scoco-cl for the
+# contrastive-distill extractor); defaults reproduce the recorded demo.
+AUX="${AUX:-aux_gradnat.npz}"
+LOGDIR="${LOGDIR:-log/zeng-bihome-scoco-lr-1e-3}"
 
 if [ ! -f aux_gradnat.npz ]; then
   echo "=== stage 1: grad extractor (natural-statistics pool) ==="
@@ -29,12 +34,13 @@ echo "=== stage 3: zeng-bihome S-COCO from warm start ==="
 # RESUME=1 extends an existing run to a higher EPOCHS via auto-resume
 # (e.g. EPOCHS=10 RESUME=1 after a 5-epoch run) instead of retraining.
 if [ "${RESUME:-0}" != "1" ]; then
-  rm -rf log/zeng-bihome-scoco-lr-1e-3
+  rm -rf "$LOGDIR"
 fi
 python train.py --config_file config/s-coco/zeng-bihome-lr-1e-3.yaml \
     --synthetic --epochs "$EPOCHS" \
+    --set "LOGGING.DIR=$LOGDIR" \
     --set MODEL.PRETRAINED=log/zeng-orig-pdscoco-lr-1e-3 \
-    --set MODEL.HEAD.AUXILIARY_RESNET_PATH=aux_gradnat.npz \
+    --set "MODEL.HEAD.AUXILIARY_RESNET_PATH=$AUX" \
     --set MODEL.HEAD.TRIPLET_AGGREGATION=channel-aware \
     --set "MODEL.HEAD.TRIPLET_MARGIN=$MARGIN" \
     --set SOLVER.GRADIENT_CLIP=1.0 \
