@@ -294,9 +294,15 @@ def main(args):
         x2 = batch['patch_2']                                  # [B,128,128,1]
         w1, mask = warp_gt(batch['patch_1'], batch['delta'])
         valid = nnavg_pool(mask, 4)[..., 0]                    # [B,32,32]
-        target = (grad_targets_pi(x2) if args.pretext == 'gradpdscl'
-                  else grad_targets(x2))
-        return w1, x2, valid, target
+        # Distill-anchor BOTH views (each target computed from that view's
+        # own pixels): the InfoNCE is per-position normalized, so without
+        # an anchor on the warped view its magnitudes are unconstrained —
+        # a first attempt anchored only x2 and the extractor learned 13x
+        # larger activations on warped inputs, inverting the biHomE
+        # triplet (l1 >> l3 at the gt warp; run log in BENCH_NOTES.md).
+        tfn = (grad_targets_pi if args.pretext == 'gradpdscl'
+               else grad_targets)
+        return w1, x2, valid, (tfn(w1), tfn(x2))
 
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((2, 128, 128, 1)), train=False)
@@ -318,7 +324,9 @@ def main(args):
                     jnp.concatenate([w1, x2], axis=0), train=True,
                     mutable=['batch_stats'])
                 fw1, f2 = jnp.split(out.astype(jnp.float32), 2, axis=0)
-                mse = jnp.mean((f2 - target) ** 2)
+                t_w1, t_x2 = target
+                mse = 0.5 * (jnp.mean((fw1 - t_w1) ** 2)
+                             + jnp.mean((f2 - t_x2) ** 2))
                 nce, acc = dense_infonce(fw1, f2, valid, tau=args.tau,
                                          rex=args.rex)
                 distill_w = 0.25 if args.pretext == 'gradpdscl' else 1.0
