@@ -1,0 +1,72 @@
+"""aux-extractor npz -> model integration (tools/pretrain_aux.py output).
+
+The flagship demos stand on this path: pretrain_aux saves conv1/bn1/layer1
+as a flat .npz (utils/aux_store.py) and train.py grafts it into the
+assembled model's frozen auxiliary_resnet
+(train.py:maybe_load_pretrained_resnets). Lock the name mapping and the
+round trip — a silent key mismatch would leave the extractor at random
+init and the biHomE loss meaningless (ref premise:
+src/heads/PerceptualHead.py:21-39).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bihome_tpu import config as config_lib
+from bihome_tpu.models.resnet import ResNet
+from bihome_tpu.utils import aux_store
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CONFIG = os.path.join(REPO, 'config/s-coco/zeng-bihome-lr-1e-3.yaml')
+
+
+def test_aux_npz_round_trip_and_graft(tmp_path):
+    # Save: the pretext model (full resnet34 truncated at layer1).
+    model = ResNet(arch='resnet34', num_classes=4, output_layer=1)
+    variables = model.init(jax.random.PRNGKey(3),
+                           jnp.zeros((1, 32, 32, 1)), train=False)
+    # Distinctive marker values so a graft miss is unmistakable.
+    marked = jax.tree.map(lambda x: jnp.full_like(x, 0.125),
+                          variables['params'])
+    path = str(tmp_path / 'aux.npz')
+    aux_store.save_aux_npz(path, {'params': marked,
+                                  'batch_stats': variables['batch_stats']})
+
+    loaded = aux_store.load_aux_npz(path)
+    # Only the conv1/bn1/layer1 subtree is stored...
+    assert 'conv1' in loaded['params'] and 'bn1' in loaded['params']
+    assert all(k.startswith(('conv1', 'bn1', 'layer1_'))
+               for k in loaded['params'])
+    np.testing.assert_array_equal(
+        loaded['params']['conv1']['kernel'],
+        np.full_like(np.asarray(variables['params']['conv1']['kernel']),
+                     0.125))
+
+    # Graft: into the assembled flagship model's frozen auxiliary_resnet.
+    import train as train_cli
+    config = config_lib.load_config(CONFIG)
+    config_lib.apply_overrides(config, [
+        f'MODEL.HEAD.AUXILIARY_RESNET_PATH={path}'])
+    built = config_lib.build_model(config)
+    from bihome_tpu.data import datasets
+    from bihome_tpu.training import trainer as trainer_lib
+    ds = datasets.SyntheticDataset(image_size=(320, 240), seed=2)
+    model_vars = trainer_lib.init_model(built, np.stack([ds.load_image(0)]))
+    before = np.asarray(
+        model_vars['params']['auxiliary_resnet']['conv1']['kernel']).copy()
+    model_vars = train_cli.maybe_load_pretrained_resnets(
+        built, model_vars, config)
+    after = np.asarray(
+        model_vars['params']['auxiliary_resnet']['conv1']['kernel'])
+    assert not np.allclose(before, after)
+    np.testing.assert_array_equal(after, np.full_like(after, 0.125))
+    # layer1 block weights land too (not just the stem).
+    l1 = model_vars['params']['auxiliary_resnet']
+    block_keys = [k for k in l1 if k.startswith('layer1_')]
+    assert block_keys, list(l1)
+    conv_k = np.asarray(l1[block_keys[0]]['conv1']['kernel'])
+    np.testing.assert_array_equal(conv_k, np.full_like(conv_k, 0.125))

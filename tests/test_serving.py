@@ -105,6 +105,28 @@ class TestServingExport:
         assert serving.exported_input_shapes(out) == (
             (2, 128, 128, 1), (2, 128, 128, 1))
 
+    def test_bench_serving_cli(self, built_state, tmp_path):
+        """tools/bench_serving.py reports latency for a saved artifact
+        (fixed and polymorphic batch) and emits the JSON line."""
+        import json
+        built, state = built_state
+        path = str(tmp_path / 'bench.shlo')
+        serving.save_exported(
+            serving.export_predict(built, state, batch_size='b',
+                                   platforms=['cpu']), path)
+        env = dict(os.environ)
+        env['JAX_PLATFORMS'] = 'cpu'
+        env.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
+        env.pop('XLA_FLAGS', None)
+        proc = subprocess.run(
+            [sys.executable, 'tools/bench_serving.py', '--artifact', path,
+             '--batch', '2', '--iters', '3', '--warmup', '1', '--json'],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=540)
+        assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+        line = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert line['metric'] == 'serving_latency_ms'
+        assert line['value'] > 0 and line['batch'] == 2
+
     def test_weights_are_embedded(self, built_state, tmp_path):
         """Artifact output must change when weights change (no silent
         re-init at load time) — i.e. params are constants in the module."""
