@@ -100,3 +100,34 @@ def test_gradpi_invariant_to_brightness_contrast():
     # plain grad targets are NOT invariant (sanity of the distinction)
     g0, g1 = tools.grad_targets(x), tools.grad_targets(1.3 * (x + 0.4))
     assert float(jnp.max(jnp.abs(g0 - g1))) > 1e-2
+
+
+def test_dense_infonce_rex0_penalizes_neighbor_confusion():
+    """The fine (rex=0) term must keep immediate neighbors in the
+    negatives: on a spatially SMOOTH feature map (neighbors nearly
+    identical) rex=0 loss is strictly higher than rex=2 loss, because the
+    positive now competes with its look-alike neighbors. On spatially
+    white features the two agree to within the negative-count difference.
+    This is the property --cl_fine_weight buys (sub-cell sharpening)."""
+    rng = np.random.RandomState(0)
+    white = rng.randn(1, 16, 16, 8).astype(np.float32)
+
+    def blur(x):  # wrap-pad 3x3 box blur: locally smooth, globally distinct
+        xp = np.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode='wrap')
+        return sum(xp[:, i:i + 16, j:j + 16]
+                   for i in range(3) for j in range(3)) / 9.0
+
+    smooth = white
+    for _ in range(3):
+        smooth = blur(smooth)
+    f = jnp.asarray(smooth)
+    valid = jnp.ones((1, 16, 16))
+    l_broad, _ = tools.dense_infonce(f, f, valid, tau=0.15, rex=2)
+    l_fine, _ = tools.dense_infonce(f, f, valid, tau=0.15, rex=0)
+    assert float(l_fine) > float(l_broad) + 0.4
+
+    w = jnp.asarray(white)
+    lw_b, acc_b = tools.dense_infonce(w, w, valid, tau=0.15, rex=2)
+    lw_f, acc_f = tools.dense_infonce(w, w, valid, tau=0.15, rex=0)
+    assert float(acc_f) > 0.95 and float(acc_b) > 0.95
+    assert abs(float(lw_f) - float(lw_b)) < 0.15

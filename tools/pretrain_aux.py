@@ -331,6 +331,16 @@ def main(args):
                                          rex=args.rex)
                 distill_w = 0.25 if args.pretext == 'gradpdscl' else 1.0
                 loss = distill_w * mse + args.cl_weight * nce
+                if args.cl_fine_weight > 0:
+                    # Fine term: rex=0 keeps the immediate (4px-away)
+                    # neighbors IN the negatives — the rex=2 term
+                    # deliberately broadens the basin by excluding them,
+                    # but that leaves the sub-8px optimum soft, which is
+                    # where the flagship's ~2px MACE floor lives
+                    # (BENCH_NOTES.md contrastive-extractor section).
+                    nce_fine, _ = dense_infonce(fw1, f2, valid,
+                                                tau=args.tau, rex=0)
+                    loss = loss + args.cl_fine_weight * nce_fine
                 return loss, (mut['batch_stats'], acc)
             out, mut = model.apply(
                 {'params': p, 'batch_stats': batch_stats}, x, train=True,
@@ -390,6 +400,10 @@ if __name__ == '__main__':
     p.add_argument('--out', type=str, default='aux_rotnet.npz')
     p.add_argument('--cl_weight', type=float, default=0.3,
                    help='weight of the dense InfoNCE term (cl pretexts)')
+    p.add_argument('--cl_fine_weight', type=float, default=0.0,
+                   help='weight of an additional rex=0 InfoNCE term '
+                        '(immediate neighbors as negatives — sharpens '
+                        'sub-cell feature localization)')
     p.add_argument('--tau', type=float, default=0.15,
                    help='InfoNCE temperature (cl pretexts)')
     p.add_argument('--rex', type=int, default=2,
