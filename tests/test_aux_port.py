@@ -70,3 +70,56 @@ def test_aux_npz_round_trip_and_graft(tmp_path):
     assert block_keys, list(l1)
     conv_k = np.asarray(l1[block_keys[0]]['conv1']['kernel'])
     np.testing.assert_array_equal(conv_k, np.full_like(conv_k, 0.125))
+
+
+def test_score_cnn_pretrained_graft(tmp_path):
+    """SCORE_CNN_PRETRAINED weight path (ref: src/heads/ransac_utils.py:10-23).
+
+    The reference loads torchvision resnet18 ImageNet weights into the DSAC
+    ScoreCNN, then REPLACES conv1 (2-ch stem) and fc (1 unit) — so pretrained
+    weights must land on every layer EXCEPT those two. No-egress analog:
+    MODEL.HEAD.SCORE_CNN_PATH names a local .pth
+    (train.py:maybe_load_pretrained_resnets)."""
+    import torch
+    import train as train_cli
+    from bihome_tpu.data import datasets
+    from bihome_tpu.models import torch_port
+    from bihome_tpu.training import trainer as trainer_lib
+    from tests.torch_resnet_oracle import ResNet18
+
+    torch.manual_seed(7)
+    tmodel = ResNet18(num_classes=1000, in_channels=3)
+    pth = str(tmp_path / 'resnet18.pth')
+    torch.save(tmodel.state_dict(), pth)
+
+    config = config_lib.load_config(CONFIG)
+    config_lib.apply_overrides(config, [
+        'MODEL.HEAD.SCORING_METHOD=score_cnn',
+        'MODEL.HEAD.SCORE_CNN_PRETRAINED=true',
+        f'MODEL.HEAD.SCORE_CNN_PATH={pth}'])
+    built = config_lib.build_model(config)
+    ds = datasets.SyntheticDataset(image_size=(320, 240), seed=2)
+    model_vars = trainer_lib.init_model(built, np.stack([ds.load_image(0)]))
+    assert 'score_cnn' in model_vars['params']
+    sc = model_vars['params']['score_cnn']
+    before_l1 = np.asarray(sc['layer1_0']['conv1']['kernel']).copy()
+    before_stem = np.asarray(sc['conv1']['kernel']).copy()
+    before_fc = np.asarray(sc['fc']['kernel']).copy()
+
+    model_vars = train_cli.maybe_load_pretrained_resnets(
+        built, model_vars, config)
+    sc = model_vars['params']['score_cnn']
+    want = torch_port.conv_kernel(
+        tmodel.state_dict()['layer1.0.conv1.weight'].numpy())
+    np.testing.assert_allclose(
+        np.asarray(sc['layer1_0']['conv1']['kernel']), want, rtol=1e-6)
+    assert not np.allclose(before_l1, want)
+    # Replaced-after-load layers stay at init (2-ch stem, 1-unit fc).
+    np.testing.assert_array_equal(np.asarray(sc['conv1']['kernel']),
+                                  before_stem)
+    np.testing.assert_array_equal(np.asarray(sc['fc']['kernel']), before_fc)
+    # BN running stats land too.
+    stats = model_vars['batch_stats']['score_cnn']
+    np.testing.assert_allclose(
+        np.asarray(stats['layer1_0']['bn1']['var']),
+        tmodel.state_dict()['layer1.0.bn1.running_var'].numpy(), rtol=1e-6)

@@ -34,7 +34,7 @@ class BasicBlock(nn.Module):
 
 
 class ResNet34(nn.Module):
-    def __init__(self, num_classes=1000, in_channels=3):
+    def __init__(self, num_classes=1000, in_channels=3, sizes=(3, 4, 6, 3)):
         super().__init__()
         self.conv1 = nn.Conv2d(in_channels, 64, 7, stride=2, padding=3,
                                bias=False)
@@ -42,7 +42,6 @@ class ResNet34(nn.Module):
         self.relu = nn.ReLU(inplace=True)
         self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
         chans = [64, 128, 256, 512]
-        sizes = [3, 4, 6, 3]
         in_ch = 64
         for li, (ch, n) in enumerate(zip(chans, sizes), start=1):
             layers = []
@@ -63,3 +62,10 @@ class ResNet34(nn.Module):
         x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
         x = torch.flatten(self.avgpool(x), 1)
         return self.fc(x)
+
+
+class ResNet18(ResNet34):
+    """Same v1 layout with [2,2,2,2] blocks (DSAC ScoreCNN's base,
+    ref: src/heads/ransac_utils.py:16)."""
+    def __init__(self, num_classes=1000, in_channels=3):
+        super().__init__(num_classes, in_channels, sizes=(2, 2, 2, 2))
