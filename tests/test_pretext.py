@@ -102,6 +102,30 @@ def test_gradpi_invariant_to_brightness_contrast():
     assert float(jnp.max(jnp.abs(g0 - g1))) > 1e-2
 
 
+def test_basin_ratio_orders_misalignment():
+    """--basin_weight's ratio term: positive when the perturbed view is
+    farther from f2 than the aligned view, zero at equality, negative when
+    inverted; masked positions must not contribute."""
+    rng = np.random.RandomState(0)
+    f2 = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    near = f2 + 0.01 * jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    far = f2 + 0.30 * jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    v = jnp.ones((2, 8, 8))
+    r_good = float(tools.basin_ratio(near, far, f2, v, v))
+    r_flat = float(tools.basin_ratio(near, near, f2, v, v))
+    r_bad = float(tools.basin_ratio(far, near, f2, v, v))
+    assert r_good > 0.5
+    assert abs(r_flat) < 1e-5
+    assert r_bad < -0.5
+    # Invalid positions are excluded: corrupting them changes nothing.
+    ve = jnp.ones((2, 8, 8)).at[:, :3, :].set(0.0)
+    r_m = float(tools.basin_ratio(near, far, f2, v, ve))
+    far_c = far.at[:, :3, :, :].set(1e3)
+    near_c = near.at[:, :3, :, :].set(-1e3)
+    r_mc = float(tools.basin_ratio(near_c, far_c, f2, v, ve))
+    np.testing.assert_allclose(r_m, r_mc, rtol=1e-5)
+
+
 def test_dense_infonce_rex0_penalizes_neighbor_confusion():
     """The fine (rex=0) term must keep immediate neighbors in the
     negatives: on a spatially SMOOTH feature map (neighbors nearly

@@ -34,6 +34,12 @@ accepts. Two pretexts:
         geometric correspondence learned jointly); distill term uses the
         PI targets at reduced weight.
 
+Optional extra terms on the cl pretexts: --cl_fine_weight (rex=0
+InfoNCE — immediate neighbors as negatives) and --basin_weight (the
+feature distance to the aligned view must increase under a 0.5-4px
+corner-jittered warp; shapes the sub-4px basin slope that grid-level
+InfoNCE cannot see).
+
     python tools/pretrain_aux.py --pretext grad --steps 2500 --out aux.npz
 """
 
@@ -194,6 +200,25 @@ def dense_infonce(f1, f2, valid, tau=0.15, rex=2):
     return 0.5 * (la + lb), 0.5 * (aa + ab)
 
 
+def basin_ratio(fw1, fw1e, f2, valid, valide):
+    """Per-sample normalized misalignment contrast in [-1, 1]:
+    (d_eps - d_0) / (d_eps + d_0), where d_* is the warp-support-masked
+    mean absolute feature distance to f2 — the same quantity the
+    biHomE l1 term measures (heads/assembled.py triplet distances).
+    Maximizing it makes the feature distance strictly increase with
+    sub-4px misalignment, scale-free (the distill term anchors the
+    absolute magnitudes)."""
+    w = ((valid > 0.999) & (valide > 0.999)).astype(jnp.float32)
+    wsum = jnp.sum(w, axis=(1, 2)) + 1e-6
+
+    def mdist(fa):
+        d = jnp.mean(jnp.abs(fa - f2), axis=-1)                # [B,Hf,Wf]
+        return jnp.sum(d * w, axis=(1, 2)) / wsum
+
+    d0, de = mdist(fw1), mdist(fw1e)
+    return jnp.mean((de - d0) / (de + d0 + 1e-6))
+
+
 def warp_gt(patch_2, delta):
     """Warp patch_2 by the ground-truth delta exactly as the biHomE head
     warps it by delta_hat (heads/assembled.py:_warp_with_support), plus the
@@ -287,7 +312,7 @@ def main(args):
         patch_1 to patch_2 (the head's loss-warp convention — it warps
         patch_1 by delta_hat and compares against patch_2,
         heads/assembled.py:_multihead_loss/_triplet_resnet_loss)."""
-        k_idx, k_gen = jax.random.split(key)
+        k_idx, k_gen, k_eps, k_s = jax.random.split(key, 4)
         idx = jax.random.randint(k_idx, (args.batch,), 0, pool.shape[0])
         batch = pipeline.generate_pairs(pipeline.take_images(pool, idx),
                                         k_gen, cl_spec)
@@ -302,7 +327,21 @@ def main(args):
         # triplet (l1 >> l3 at the gt warp; run log in BENCH_NOTES.md).
         tfn = (grad_targets_pi if args.pretext == 'gradpdscl'
                else grad_targets)
-        return w1, x2, valid, (tfn(w1), tfn(x2))
+        if args.basin_weight <= 0:
+            return w1, x2, valid, (tfn(w1), tfn(x2)), None
+        # Basin-sharpening view: the SAME patch_1 warped by an
+        # eps-perturbed delta (0.5-4 px per corner coordinate). The biHomE
+        # training signal at convergence is the feature-distance increase
+        # between the exact warp and a slightly-wrong one; the InfoNCE
+        # terms only discriminate 4px feature-GRID positions, leaving
+        # that sub-cell slope unshaped (the ~2px flagship MACE floor).
+        s = jax.random.uniform(k_s, (args.batch, 1, 1),
+                               minval=0.5, maxval=4.0)
+        eps = jax.random.uniform(k_eps, (args.batch, 4, 2),
+                                 minval=-1.0, maxval=1.0) * s
+        w1e, maske = warp_gt(batch['patch_1'], batch['delta'] + eps)
+        valide = nnavg_pool(maske, 4)[..., 0]
+        return w1, x2, valid, (tfn(w1), tfn(x2)), (w1e, valide)
 
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((2, 128, 128, 1)), train=False)
@@ -311,7 +350,7 @@ def main(args):
 
     def train_step(params, batch_stats, opt_state, key):
         if is_cl:
-            w1, x2, valid, target = make_cl_batch(key)
+            w1, x2, valid, target, basin = make_cl_batch(key)
         elif args.pretext.startswith('grad'):
             x, target = make_grad_batch(key)
         else:
@@ -319,11 +358,14 @@ def main(args):
 
         def loss_fn(p):
             if is_cl:
+                views = [w1, x2] + ([basin[0]] if basin else [])
                 out, mut = model.apply(
                     {'params': p, 'batch_stats': batch_stats},
-                    jnp.concatenate([w1, x2], axis=0), train=True,
+                    jnp.concatenate(views, axis=0), train=True,
                     mutable=['batch_stats'])
-                fw1, f2 = jnp.split(out.astype(jnp.float32), 2, axis=0)
+                parts = jnp.split(out.astype(jnp.float32), len(views),
+                                  axis=0)
+                fw1, f2 = parts[0], parts[1]
                 t_w1, t_x2 = target
                 mse = 0.5 * (jnp.mean((fw1 - t_w1) ** 2)
                              + jnp.mean((f2 - t_x2) ** 2))
@@ -331,6 +373,13 @@ def main(args):
                                          rex=args.rex)
                 distill_w = 0.25 if args.pretext == 'gradpdscl' else 1.0
                 loss = distill_w * mse + args.cl_weight * nce
+                if basin:
+                    ratio = basin_ratio(fw1, parts[2], f2, valid, basin[1])
+                    loss = loss - args.basin_weight * ratio
+                    # Report the contrast instead of InfoNCE accuracy once
+                    # the basin term is active (acc saturates at ~0.99
+                    # early; the ratio is the signal being tuned).
+                    acc = ratio
                 if args.cl_fine_weight > 0:
                     # Fine term: rex=0 keeps the immediate (4px-away)
                     # neighbors IN the negatives — the rex=2 term
@@ -406,6 +455,11 @@ if __name__ == '__main__':
                         'sub-cell feature localization)')
     p.add_argument('--tau', type=float, default=0.15,
                    help='InfoNCE temperature (cl pretexts)')
+    p.add_argument('--basin_weight', type=float, default=0.0,
+                   help='weight of the basin-sharpening ratio term: feature '
+                        'distance to the aligned view must increase under a '
+                        '0.5-4px corner-jittered warp (shapes the sub-4px '
+                        'slope the InfoNCE grid terms cannot see)')
     p.add_argument('--rex', type=int, default=2,
                    help='neighbor-exclusion Chebyshev radius in feature px')
     p.add_argument('--pretext', choices=('rotnet', 'grad', 'gradpi',

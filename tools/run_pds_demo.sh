@@ -28,10 +28,22 @@ EPOCHS="${EPOCHS:-5}"
 AUX="${AUX:-aux_pds.npz}"
 LOGDIR="${LOGDIR:-log/zeng-bihome-pdscoco-lr-1e-3}"
 
-if [ ! -f aux_pds.npz ]; then
-  echo "=== stage 1: gradpds extractor ==="
-  python tools/pretrain_aux.py --pretext gradpds --steps 2500 \
-      --out aux_pds.npz
+if [ ! -f "$AUX" ]; then
+  echo "=== stage 1: frozen extractor ($AUX) ==="
+  case "$AUX" in
+    aux_pds.npz)      # recorded demo: PDS-invariance distillation
+      python tools/pretrain_aux.py --pretext gradpds --steps 2500 \
+          --out "$AUX" ;;
+    aux_pdscl.npz)    # + dense-correspondence InfoNCE (BENCH_NOTES)
+      python tools/pretrain_aux.py --pretext gradpdscl --steps 2500 \
+          --out "$AUX" ;;
+    aux_pdsclf.npz)   # + fine-negative (rex=0) term — best PDS recipe
+      python tools/pretrain_aux.py --pretext gradpdscl --steps 2500 \
+          --cl_fine_weight 0.15 --out "$AUX" ;;
+    *)
+      echo "unknown AUX=$AUX — pretrain it first (tools/pretrain_aux.py)" >&2
+      exit 1 ;;
+  esac
 fi
 
 if [ ! -d log/zeng-orig-pdscoco-lr-1e-3 ]; then

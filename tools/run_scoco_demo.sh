@@ -18,10 +18,22 @@ EPOCHS="${EPOCHS:-5}"
 AUX="${AUX:-aux_gradnat.npz}"
 LOGDIR="${LOGDIR:-log/zeng-bihome-scoco-lr-1e-3}"
 
-if [ ! -f aux_gradnat.npz ]; then
-  echo "=== stage 1: grad extractor (natural-statistics pool) ==="
-  python tools/pretrain_aux.py --pretext grad --steps 2500 \
-      --out aux_gradnat.npz
+if [ ! -f "$AUX" ]; then
+  echo "=== stage 1: frozen extractor ($AUX) ==="
+  case "$AUX" in
+    aux_gradnat.npz)  # recorded demo: pyramid distillation only
+      python tools/pretrain_aux.py --pretext grad --steps 2500 \
+          --out "$AUX" ;;
+    aux_cl.npz)       # + dense-correspondence InfoNCE (BENCH_NOTES)
+      python tools/pretrain_aux.py --pretext gradcl --steps 2500 \
+          --out "$AUX" ;;
+    aux_clf.npz)      # + fine-negative (rex=0) term — best S-COCO recipe
+      python tools/pretrain_aux.py --pretext gradcl --steps 2500 \
+          --cl_fine_weight 0.15 --out "$AUX" ;;
+    *)
+      echo "unknown AUX=$AUX — pretrain it first (tools/pretrain_aux.py)" >&2
+      exit 1 ;;
+  esac
 fi
 
 if [ ! -d log/zeng-orig-pdscoco-lr-1e-3 ]; then
