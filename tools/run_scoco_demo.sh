@@ -30,6 +30,9 @@ if [ ! -f "$AUX" ]; then
     aux_clf.npz)      # + fine-negative (rex=0) term — best S-COCO recipe
       python tools/pretrain_aux.py --pretext gradcl --steps 2500 \
           --cl_fine_weight 0.15 --out "$AUX" ;;
+    aux_clfb.npz)     # + basin-sharpening term (sub-4px misalignment slope)
+      python tools/pretrain_aux.py --pretext gradcl --steps 2500 \
+          --cl_fine_weight 0.15 --basin_weight 0.3 --out "$AUX" ;;
     *)
       echo "unknown AUX=$AUX — pretrain it first (tools/pretrain_aux.py)" >&2
       exit 1 ;;
