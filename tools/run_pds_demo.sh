@@ -40,6 +40,9 @@ if [ ! -f "$AUX" ]; then
     aux_pdsclf.npz)   # + fine-negative (rex=0) term — best PDS recipe
       python tools/pretrain_aux.py --pretext gradpdscl --steps 2500 \
           --cl_fine_weight 0.15 --out "$AUX" ;;
+    aux_pdsclfb.npz)  # + basin-sharpening term (sub-4px misalignment slope)
+      python tools/pretrain_aux.py --pretext gradpdscl --steps 2500 \
+          --cl_fine_weight 0.15 --basin_weight 0.3 --out "$AUX" ;;
     *)
       echo "unknown AUX=$AUX — pretrain it first (tools/pretrain_aux.py)" >&2
       exit 1 ;;
