@@ -96,7 +96,7 @@ def _blur(x, times):
     return x
 
 
-def grad_targets(x):
+def grad_targets(x, rich=False):
     """Alignment-friendly distillation target: a multi-scale pyramid at H/4
     — intensity and Sobel gradients at blur scales sigma ~ {0, 2, 4, 8}px —
     projected to 64 dims by a FIXED random map + tanh.
@@ -106,16 +106,28 @@ def grad_targets(x):
     rho=32px perturbations (classic coarse-to-fine registration); the fine
     gradient channels sharpen the optimum. This is the property the paper
     gets from ImageNet layer1 features (ref: PerceptualHead.py:21-39) and
-    what a rotation-pretext or raw-gradient space lacks."""
+    what a rotation-pretext or raw-gradient space lacks.
+
+    ``rich=True`` doubles the per-scale channel set (diagonal derivatives
+    + Laplacian) to raise the target's intrinsic rank ~12 -> ~24: the
+    distill-only extractor's MACE floor tracked the target rank
+    (BENCH_NOTES.md, contrastive-extractor section), so a fuller basis
+    gives the InfoNCE terms more directions to shape."""
     kx = jnp.array([[1., 0., -1.], [2., 0., -2.], [1., 0., -1.]],
                    jnp.float32) / 4.0
     x = x.astype(jnp.float32)
     base = nnavg_pool(x, 4)                                # [B,32,32,1]
+    kd = jnp.array([[2., 1., 0.], [1., 0., -1.], [0., -1., -2.]],
+                   jnp.float32) / 4.0                      # 45deg derivative
+    kl = jnp.array([[0., 1., 0.], [1., -4., 1.], [0., 1., 0.]],
+                   jnp.float32) / 4.0                      # Laplacian
     chans = []
     for times in (0, 2, 8, 32):                            # sigma ~ 0,1,2,4
         b = _blur(base, times) if times else base
         chans += [b, _sobel(b, kx), _sobel(b, kx.T)]
-    t = jnp.concatenate(chans, axis=-1)                    # [B,32,32,12]
+        if rich:
+            chans += [_sobel(b, kd), _sobel(b, kd.T), _sobel(b, kl)]
+    t = jnp.concatenate(chans, axis=-1)                    # [B,32,32,12|24]
     proj = jax.random.normal(jax.random.PRNGKey(42),
                              (t.shape[-1], 64)) / jnp.sqrt(float(t.shape[-1]))
     return jnp.tanh(t @ proj)
@@ -326,7 +338,7 @@ def main(args):
         # larger activations on warped inputs, inverting the biHomE
         # triplet (l1 >> l3 at the gt warp; run log in BENCH_NOTES.md).
         tfn = (grad_targets_pi if args.pretext == 'gradpdscl'
-               else grad_targets)
+               else (lambda v: grad_targets(v, rich=args.rich_target)))
         if args.basin_weight <= 0:
             return w1, x2, valid, (tfn(w1), tfn(x2)), None
         # Basin-sharpening view: the SAME patch_1 warped by an
@@ -460,6 +472,9 @@ if __name__ == '__main__':
                         'distance to the aligned view must increase under a '
                         '0.5-4px corner-jittered warp (shapes the sub-4px '
                         'slope the InfoNCE grid terms cannot see)')
+    p.add_argument('--rich_target', action='store_true',
+                   help='richer grad distill target (diagonal derivatives + '
+                        'Laplacian per scale; intrinsic rank ~24 vs ~12)')
     p.add_argument('--rex', type=int, default=2,
                    help='neighbor-exclusion Chebyshev radius in feature px')
     p.add_argument('--pretext', choices=('rotnet', 'grad', 'gradpi',

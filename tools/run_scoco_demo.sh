@@ -33,6 +33,13 @@ if [ ! -f "$AUX" ]; then
     aux_clfb.npz)     # + basin-sharpening term (sub-4px misalignment slope)
       python tools/pretrain_aux.py --pretext gradcl --steps 2500 \
           --cl_fine_weight 0.15 --basin_weight 0.3 --out "$AUX" ;;
+    aux_clfr.npz)     # fine-negative + rich (rank-24) distill target
+      python tools/pretrain_aux.py --pretext gradcl --steps 2500 \
+          --cl_fine_weight 0.15 --rich_target --out "$AUX" ;;
+    aux_clfbr.npz)    # fine-negative + basin + rich target
+      python tools/pretrain_aux.py --pretext gradcl --steps 2500 \
+          --cl_fine_weight 0.15 --basin_weight 0.3 --rich_target \
+          --out "$AUX" ;;
     *)
       echo "unknown AUX=$AUX — pretrain it first (tools/pretrain_aux.py)" >&2
       exit 1 ;;
