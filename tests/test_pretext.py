@@ -30,6 +30,28 @@ def test_grad_targets_shape_and_range():
     assert float(jnp.std(t)) > 1e-3      # not collapsed
 
 
+def test_grad_targets_rich_raises_rank():
+    """--rich_target's claim: the diagonal-derivative + Laplacian channels
+    raise the target's effective rank (the distill-only extractor's MACE
+    floor tracked target rank — BENCH_NOTES.md). Lock shape-compat (same
+    64-dim projected space) and a materially higher participation-ratio
+    rank over spatial positions."""
+    x = _patches(b=4, seed=2)
+    t12 = tools.grad_targets(x)
+    t24 = tools.grad_targets(x, rich=True)
+    assert t24.shape == t12.shape == (4, 32, 32, 64)
+    assert float(jnp.max(jnp.abs(t24 - t12))) > 1e-3   # actually different
+
+    def erank(t):
+        m = np.asarray(t, np.float64).reshape(-1, 64)
+        m -= m.mean(0)
+        s = np.linalg.svd(m, compute_uv=False)
+        p = (s ** 2) / (s ** 2).sum()
+        return float(np.exp(-(p * np.log(p + 1e-12)).sum()))
+
+    assert erank(t24) > erank(t12) + 2.0
+
+
 def test_warp_gt_identity_and_alignment():
     """warp_gt(patch_1, gt delta) must align patch_1 to patch_2 — the
     property the dense-correspondence InfoNCE positives rest on (the head

@@ -46,6 +46,26 @@ def test_clean_exit_below_target_does_not_loop(tmp_path):
     assert 'exited rc=0 at step 5' in r.stdout
 
 
+def test_stall_kill_reaches_wrapper_children(tmp_path):
+    """The stalled command may be a wrapper script whose CHILD is the real
+    (wedged) worker — e.g. tools/run_*.sh wrapping train.py. The kill must
+    reach the whole process group: killing only the wrapper orphans the
+    wedged python, which keeps the TPU, and the relaunch deadlocks behind
+    it (single-TPU-process rule, CLAUDE.md)."""
+    metrics = tmp_path / 'metrics.jsonl'
+    flag = tmp_path / 'flag'
+    sleeper = tmp_path / 'sleeper.pid'
+    cmd = (f'if [ -f {flag} ]; then echo \'{{"step": 15}}\' > {metrics}; '
+           f'exit 0; fi; touch {flag}; sleep 300 & echo $! > {sleeper}; wait')
+    r = _run(tmp_path, target=10, stall_s=35, cmd=cmd)
+    assert r.returncode == 0, r.stderr
+    assert 'STALL' in r.stdout
+    assert 'done (step 15' in r.stdout
+    pid = sleeper.read_text().strip()
+    assert pid and not pathlib.Path(f'/proc/{pid}').exists(), (
+        f'grandchild sleeper {pid} survived the stall kill')
+
+
 def test_stalled_child_is_killed_and_relaunched(tmp_path):
     """A child whose metrics file stops moving gets killed after STALL_S and
     the command is relaunched; the second attempt completes the run."""

@@ -34,7 +34,12 @@ attempt=0
 while :; do
   attempt=$((attempt + 1))
   echo "=== supervise: attempt $attempt (step $(last_step)/$TARGET_STEP) ==="
-  "$@" &
+  # setsid: the command gets its own process GROUP, so a stall kill reaches
+  # every descendant. Killing only $PID is not enough when the command is a
+  # wrapper script (tools/run_*.sh): the wrapper dies but the wedged python
+  # child survives, still holding the TPU, and the relaunch blocks behind
+  # it forever (the single-TPU-process rule — see CLAUDE.md).
+  setsid "$@" &
   PID=$!
   started=$(date +%s)
   while alive "$PID"; do
@@ -51,8 +56,8 @@ while :; do
     age=$(( $(date +%s) - last ))
     if [ "$age" -gt "$STALL_S" ]; then
       echo "=== supervise: STALL (no progress for ${age}s) — restarting ==="
-      kill "$PID" 2>/dev/null; sleep 5
-      kill -9 "$PID" 2>/dev/null; sleep 3
+      kill -- "-$PID" 2>/dev/null; sleep 5
+      kill -9 -- "-$PID" 2>/dev/null; sleep 3
       break
     fi
   done
