@@ -689,11 +689,15 @@ class AssembledModel(nn.Module):
         if cfg.name == 'PerceptualHead':
             if cfg.delta_hat_keys:
                 return data[cfg.delta_hat_keys[0]], None
-            delta_hats, scores = self._dsac_deltas(data[cfg.pf_keys[0]])
+            pf = data[cfg.pf_keys[0]]
+            delta_hats, scores = self._dsac_deltas(pf)
             b = delta_hats.shape[0]
             best = jnp.argmax(scores, axis=-1)                # [B]
             delta_hat = jnp.take_along_axis(
                 delta_hats, best[:, None, None, None], axis=1)[:, 0]
+            if cfg.dsac_predict_refine:
+                delta_hat = dsac_lib.refine_delta_on_pf(
+                    pf, delta_hat, cfg.scoring_distance_threshold)
             return delta_hat, None
 
         raise ValueError(cfg.name)

@@ -60,6 +60,14 @@ class HeadConfig:
     # src/heads/ransac_utils.py:55-56 — arange is used as weights, so point 0
     # is never drawn); 'uniform' is the evident intent.
     dsac_point_sampling: str = 'reference-weighted'
+    # Extension knob (documented, default off — shipped configs unchanged):
+    # at PREDICT time, robustly re-fit the best DSAC hypothesis to ALL H*W
+    # perspective-field correspondences with weights relu(1 - err/thr)
+    # (the weighted-DLT refinement the reference ships but never calls,
+    # ref: src/heads/ransac_utils.py:130-145). The sampled hypothesis uses
+    # only POINTS_PER_HYPOTHESIS of the 16k PF points, so its delta carries
+    # avoidable sampling noise; training is untouched.
+    dsac_predict_refine: bool = False
 
     @staticmethod
     def from_yaml(head: Dict[str, Any],
@@ -140,4 +148,6 @@ class HeadConfig:
             kw['score_cnn_pretrained'] = bool(head['SCORE_CNN_PRETRAINED'])
         if 'DSAC_POINT_SAMPLING' in head:
             kw['dsac_point_sampling'] = head['DSAC_POINT_SAMPLING']
+        if 'DSAC_PREDICT_REFINE' in head:
+            kw['dsac_predict_refine'] = bool(head['DSAC_PREDICT_REFINE'])
         return HeadConfig(**kw)

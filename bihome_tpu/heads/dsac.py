@@ -136,6 +136,41 @@ def score_hypotheses(points1: Array, points2: Array, homographies: Array,
     return scores, reproj
 
 
+def refine_delta_on_pf(pf: Array, delta_hat: Array,
+                       threshold: float = 3.0) -> Array:
+    """Robust all-points refit of a predicted corner delta
+    (MODEL.HEAD.DSAC_PREDICT_REFINE — predict-only extension knob).
+
+    The best DSAC hypothesis is fit to POINTS_PER_HYPOTHESIS sampled PF
+    points, so its delta carries sampling noise; this re-fits one
+    homography to ALL H*W correspondences with weights
+    relu(1 - err/threshold) + eps under the hypothesis — one IRLS step of
+    the weighted-DLT refinement the reference ships but never calls
+    (ref: src/heads/ransac_utils.py:130-145). pf: [B,h,w,2] NHWC;
+    delta_hat: [B,4,2] -> refined [B,4,2].
+    """
+    b, h, w, _ = pf.shape
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing='ij')
+    coords = jnp.stack([xs.reshape(-1), ys.reshape(-1)], -1)       # [N,2]
+    coords = jnp.broadcast_to(coords[None], (b, h * w, 2))
+    mapping = coords + pf.reshape(b, -1, 2).astype(jnp.float32)
+    fp = jnp.broadcast_to(
+        jnp.array([[0, 0], [w, 0], [w, h], [0, h]], jnp.float32)[None],
+        (b, 4, 2))
+    h_best = geometry.four_point_to_homography(
+        fp, delta_hat.astype(jnp.float32))
+    err = jnp.linalg.norm(
+        geometry.transform_points(h_best, coords) - mapping, axis=-1)
+    # Zero weight past the inlier threshold; the small floor keeps the
+    # normal equations well-posed when a bad hypothesis rejects every
+    # point (falls back toward unweighted least squares).
+    wgt = jax.nn.relu(1.0 - err / threshold) + 1e-3
+    h_ref = geometry.find_homography_dlt(coords, mapping, wgt)
+    refined = geometry.transform_points(h_ref, fp) - fp
+    return refined.astype(delta_hat.dtype)
+
+
 def refine_hypotheses(points1: Array, points2: Array, distances: Array,
                       hypothesis_no: int) -> Array:
     """Weighted-DLT refinement with weights 1 - distance (unused by shipped

@@ -344,3 +344,54 @@ def test_dsac_sample_from_pf_matches_full_mapping():
         fast = dsac_lib.sample_hypotheses_from_pf(pf, key, 5, 4, sampling)
         np.testing.assert_allclose(np.asarray(full), np.asarray(fast),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_refine_delta_on_pf_beats_sampled_hypothesis():
+    """DSAC_PREDICT_REFINE spec: on a noisy perspective field the
+    all-points weighted refit must recover the true delta better than the
+    64-point sampled-subset DLT it starts from, and outliers past the
+    inlier threshold must not drag it (robust weights)."""
+    from bihome_tpu.heads import dsac as dsac_lib
+    rng = np.random.RandomState(0)
+    b, h, w = 3, 32, 32
+    delta_gt = jnp.asarray(rng.uniform(-8, 8, (b, 4, 2)).astype(np.float32))
+    fp = jnp.broadcast_to(
+        jnp.array([[0, 0], [w, 0], [w, h], [0, h]], jnp.float32)[None],
+        (b, 4, 2))
+    h_gt = geometry.four_point_to_homography(fp, delta_gt)
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing='ij')
+    coords = jnp.asarray(
+        np.broadcast_to(np.stack([xs.ravel(), ys.ravel()], -1)[None],
+                        (b, h * w, 2)).copy())
+    mapping = geometry.transform_points(h_gt, coords)
+    pf_clean = (mapping - coords).reshape(b, h, w, 2)
+    noise = rng.normal(0, 0.5, pf_clean.shape).astype(np.float32)
+    # 5% gross outliers (e.g. occluded / textureless regions).
+    out_mask = (rng.rand(b, h, w, 1) < 0.05).astype(np.float32)
+    outliers = rng.uniform(-20, 20, pf_clean.shape).astype(np.float32)
+    pf = pf_clean + noise + out_mask * outliers
+
+    # Initial estimate: DLT on a random 64-point subset (what
+    # hypothesis_no=1 DSAC prediction does).
+    idx = rng.choice(h * w, 64, replace=False)
+    p1 = coords[:, idx]
+    p2 = p1 + jnp.asarray(pf.reshape(b, -1, 2)[:, idx])
+    h_hyp = geometry.find_homography_dlt(p1, p2)
+    delta_hyp = geometry.transform_points(h_hyp, fp) - fp
+
+    refined = dsac_lib.refine_delta_on_pf(jnp.asarray(pf), delta_hyp, 3.0)
+
+    def mace(d):
+        return float(jnp.mean(jnp.linalg.norm(d - delta_gt, axis=-1)))
+
+    assert mace(refined) < 0.7 * mace(delta_hyp)
+    assert mace(refined) < 0.3
+
+
+def test_dsac_predict_refine_config_knob():
+    cfg = HeadConfig.from_yaml({'NAME': 'PerceptualHead',
+                                'DSAC_PREDICT_REFINE': True})
+    assert cfg.dsac_predict_refine
+    assert not HeadConfig.from_yaml({'NAME': 'PerceptualHead'}
+                                    ).dsac_predict_refine

@@ -159,7 +159,7 @@ def grad_targets_pi(x):
     return jnp.tanh(t @ proj)
 
 
-def dense_infonce(f1, f2, valid, tau=0.15, rex=2):
+def dense_infonce(f1, f2, valid, tau=0.15, rex=2, hard_beta=0.0):
     """Dense-correspondence InfoNCE between two ALIGNED feature maps.
 
     f1, f2: [B,Hf,Wf,C] — f2 comes from the gt-warped second patch, so
@@ -173,6 +173,16 @@ def dense_infonce(f1, f2, valid, tau=0.15, rex=2):
     them apart would force high-frequency features and a narrow basin).
     Positions without full warp support are dropped as anchors and masked
     out as candidates. Symmetrized over the two directions.
+
+    ``hard_beta`` > 0 importance-reweights the negatives by their hardness
+    (Robinson et al. 2021, "Contrastive Learning with Hard Negative
+    Samples"): each negative's contribution to the partition function is
+    scaled by softmax(beta * s) over the negatives, keeping the effective
+    negative count constant — in log space the negative term becomes
+    log(N) + lse((1+beta)s) - lse(beta*s). beta=0 reduces exactly to the
+    uniform objective. Hard negatives here are look-alike positions
+    (repeated texture, aperture-problem edges) — exactly the confusions
+    that cost alignment accuracy downstream.
 
     Returns (loss, acc): mean -log p(positive), and the fraction of valid
     anchors whose argmax candidate is the true position.
@@ -197,18 +207,28 @@ def dense_infonce(f1, f2, valid, tau=0.15, rex=2):
     # positive (diagonal) always stays.
     excl = (neigh[None] | (vflat[:, None, :] < 0.999)) & \
         ~jnp.eye(p, dtype=bool)[None]
-    logits = jnp.where(excl, -1e9, sim)
+    neg_mask = ~excl & ~jnp.eye(p, dtype=bool)[None]             # negatives
 
-    def one_dir(lg):
-        lse = jax.nn.logsumexp(lg, axis=-1)                      # [B,P]
+    def one_dir(s):
+        lg = jnp.where(excl, -1e9, s)
         diag = jnp.einsum('bpp->bp', lg)
+        if hard_beta > 0.0:
+            def mlse(x):                                         # masked lse
+                return jax.nn.logsumexp(jnp.where(neg_mask, x, -1e9),
+                                        axis=-1)
+            n_neg = jnp.sum(neg_mask, axis=-1).astype(jnp.float32)
+            log_neg = (jnp.log(n_neg + 1e-6)
+                       + mlse((1.0 + hard_beta) * s) - mlse(hard_beta * s))
+            lse = jnp.logaddexp(diag, log_neg)                   # [B,P]
+        else:
+            lse = jax.nn.logsumexp(lg, axis=-1)                  # [B,P]
         loss = jnp.sum((lse - diag) * w) / (jnp.sum(w) + 1e-6)
         acc = jnp.sum((jnp.argmax(lg, -1) == jnp.arange(p)[None]) * w) \
             / (jnp.sum(w) + 1e-6)
         return loss, acc
 
-    la, aa = one_dir(logits)
-    lb, ab = one_dir(jnp.where(excl, -1e9, sim.transpose(0, 2, 1)))
+    la, aa = one_dir(sim)
+    lb, ab = one_dir(sim.transpose(0, 2, 1))
     return 0.5 * (la + lb), 0.5 * (aa + ab)
 
 
@@ -382,7 +402,8 @@ def main(args):
                 mse = 0.5 * (jnp.mean((fw1 - t_w1) ** 2)
                              + jnp.mean((f2 - t_x2) ** 2))
                 nce, acc = dense_infonce(fw1, f2, valid, tau=args.tau,
-                                         rex=args.rex)
+                                         rex=args.rex,
+                                         hard_beta=args.cl_hard_beta)
                 distill_w = 0.25 if args.pretext == 'gradpdscl' else 1.0
                 loss = distill_w * mse + args.cl_weight * nce
                 if basin:
@@ -400,7 +421,8 @@ def main(args):
                     # where the flagship's ~2px MACE floor lives
                     # (BENCH_NOTES.md contrastive-extractor section).
                     nce_fine, _ = dense_infonce(fw1, f2, valid,
-                                                tau=args.tau, rex=0)
+                                                tau=args.tau, rex=0,
+                                                hard_beta=args.cl_hard_beta)
                     loss = loss + args.cl_fine_weight * nce_fine
                 return loss, (mut['batch_stats'], acc)
             out, mut = model.apply(
@@ -475,6 +497,12 @@ if __name__ == '__main__':
     p.add_argument('--rich_target', action='store_true',
                    help='richer grad distill target (diagonal derivatives + '
                         'Laplacian per scale; intrinsic rank ~24 vs ~12)')
+    p.add_argument('--cl_hard_beta', type=float, default=0.0,
+                   help='hard-negative importance weighting exponent for '
+                        'the InfoNCE terms (Robinson et al. 2021); 0 = '
+                        'uniform negatives. Upweights look-alike positions '
+                        '(repeated texture / aperture-problem edges) in '
+                        'the partition function')
     p.add_argument('--rex', type=int, default=2,
                    help='neighbor-exclusion Chebyshev radius in feature px')
     p.add_argument('--pretext', choices=('rotnet', 'grad', 'gradpi',

@@ -40,6 +40,13 @@ if [ ! -f "$AUX" ]; then
       python tools/pretrain_aux.py --pretext gradcl --steps 2500 \
           --cl_fine_weight 0.15 --basin_weight 0.3 --rich_target \
           --out "$AUX" ;;
+    aux_clfh.npz)     # fine-negative + hard-negative weighting
+      python tools/pretrain_aux.py --pretext gradcl --steps 2500 \
+          --cl_fine_weight 0.15 --cl_hard_beta 0.5 --out "$AUX" ;;
+    aux_clfbh.npz)    # fine-negative + basin + hard-negative weighting
+      python tools/pretrain_aux.py --pretext gradcl --steps 2500 \
+          --cl_fine_weight 0.15 --basin_weight 0.3 --cl_hard_beta 0.5 \
+          --out "$AUX" ;;
     *)
       echo "unknown AUX=$AUX — pretrain it first (tools/pretrain_aux.py)" >&2
       exit 1 ;;
