@@ -72,6 +72,70 @@ def test_aux_npz_round_trip_and_graft(tmp_path):
     np.testing.assert_array_equal(conv_k, np.full_like(conv_k, 0.125))
 
 
+def test_aux_npz_layer2_graft_and_prune(tmp_path):
+    """--layers 2 extractor npz (tools/pretrain_aux.py): layer2 weights land
+    when the flagship runs at AUXILIARY_RESNET_OUTPUT_LAYER=2, and the SAME
+    npz grafts into the default OUTPUT_LAYER=1 model by pruning the layer2
+    subtree (aux_store.prune_to_template) instead of inserting params flax
+    would reject."""
+    import train as train_cli
+    from bihome_tpu.data import datasets
+    from bihome_tpu.training import trainer as trainer_lib
+
+    model = ResNet(arch='resnet34', num_classes=4, output_layer=2)
+    variables = model.init(jax.random.PRNGKey(5),
+                           jnp.zeros((1, 32, 32, 1)), train=False)
+    marked = jax.tree.map(lambda x: jnp.full_like(x, 0.25),
+                          variables['params'])
+    path = str(tmp_path / 'aux_l2.npz')
+    aux_store.save_aux_npz(path, {'params': marked,
+                                  'batch_stats': variables['batch_stats']})
+    loaded = aux_store.load_aux_npz(path)
+    assert any(k.startswith('layer2_') for k in loaded['params'])
+
+    ds = datasets.SyntheticDataset(image_size=(320, 240), seed=2)
+    image = np.stack([ds.load_image(0)])
+
+    # Deep model: layer2 weights must land.
+    config = config_lib.load_config(CONFIG)
+    config_lib.apply_overrides(config, [
+        'MODEL.HEAD.AUXILIARY_RESNET_OUTPUT_LAYER=2',
+        f'MODEL.HEAD.AUXILIARY_RESNET_PATH={path}'])
+    built = config_lib.build_model(config)
+    model_vars = trainer_lib.init_model(built, image)
+    model_vars = train_cli.maybe_load_pretrained_resnets(
+        built, model_vars, config)
+    aux = model_vars['params']['auxiliary_resnet']
+    l2_keys = [k for k in aux if k.startswith('layer2_')]
+    assert l2_keys, list(aux)
+    got = np.asarray(aux[l2_keys[0]]['conv1']['kernel'])
+    np.testing.assert_array_equal(got, np.full_like(got, 0.25))
+
+    # Shallow (default OUTPUT_LAYER=1) model: graft prunes, does not crash,
+    # and the shared conv1/bn1/layer1 weights still land.
+    config1 = config_lib.load_config(CONFIG)
+    config_lib.apply_overrides(config1, [
+        f'MODEL.HEAD.AUXILIARY_RESNET_PATH={path}'])
+    built1 = config_lib.build_model(config1)
+    vars1 = trainer_lib.init_model(built1, image)
+    vars1 = train_cli.maybe_load_pretrained_resnets(built1, vars1, config1)
+    aux1 = vars1['params']['auxiliary_resnet']
+    assert not any(k.startswith('layer2_') for k in aux1)
+    got1 = np.asarray(aux1['conv1']['kernel'])
+    np.testing.assert_array_equal(got1, np.full_like(got1, 0.25))
+
+
+def test_prune_to_template_unit():
+    tree = {'params': {'conv1': {'kernel': np.ones((3,))},
+                       'layer2_0': {'conv1': {'kernel': np.ones((2,))}}}}
+    tmpl = {'params': {'conv1': {'kernel': np.zeros((3,))}}}
+    pruned, dropped = aux_store.prune_to_template(tree, tmpl)
+    assert dropped == ['params/layer2_0']
+    assert 'layer2_0' not in pruned['params']
+    np.testing.assert_array_equal(pruned['params']['conv1']['kernel'],
+                                  np.ones((3,)))
+
+
 def test_score_cnn_pretrained_graft(tmp_path):
     """SCORE_CNN_PRETRAINED weight path (ref: src/heads/ransac_utils.py:10-23).
 

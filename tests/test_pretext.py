@@ -30,6 +30,22 @@ def test_grad_targets_shape_and_range():
     assert float(jnp.std(t)) > 1e-3      # not collapsed
 
 
+def test_grad_targets_layer2_geometry():
+    """--layers 2 trains a stride-8, 128-ch extractor (resnet34 layer2
+    truncation, models/resnet.py): the distill targets must match that
+    feature geometry, and the pi variant likewise."""
+    x = _patches()
+    t = tools.grad_targets(x, stride=8, out_dim=128)
+    assert t.shape == (2, 16, 16, 128)
+    assert float(jnp.max(jnp.abs(t))) < 1.0
+    assert float(jnp.std(t)) > 1e-3
+    tpi = tools.grad_targets_pi(x, stride=8, out_dim=128)
+    assert tpi.shape == (2, 16, 16, 128)
+    # Photometric invariance is preserved at the deeper geometry.
+    tpi2 = tools.grad_targets_pi(1.3 * (x + 0.4), stride=8, out_dim=128)
+    assert float(jnp.max(jnp.abs(tpi2 - tpi))) < 1e-2
+
+
 def test_grad_targets_rich_raises_rank():
     """--rich_target's claim: the diagonal-derivative + Laplacian channels
     raise the target's effective rank (the distill-only extractor's MACE

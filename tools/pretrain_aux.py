@@ -5,9 +5,11 @@ The biHomE loss is defined in the feature space of a FROZEN pretrained
 resnet34 (ref: src/heads/PerceptualHead.py:21-39); the reference downloads
 ImageNet weights. This environment has no network and no .pth files, so
 this tool trains the conv1/bn1/layer1 stack (all biHomE uses at
-AUXILIARY_RESNET_OUTPUT_LAYER=1) on a pretext over the synthetic pool and
-saves the subtree as an .npz that train.py's HEAD.AUXILIARY_RESNET_PATH
-accepts. Two pretexts:
+AUXILIARY_RESNET_OUTPUT_LAYER=1; ``--layers 2`` extends the trained stack
+through layer2 for use with AUXILIARY_RESNET_OUTPUT_LAYER=2 — stride-8,
+128-ch features) on a pretext over the synthetic pool and saves the
+subtree as an .npz that train.py's HEAD.AUXILIARY_RESNET_PATH accepts.
+Two pretexts:
 
   rotnet (default): rotation prediction (RotNet, Gidaris et al. 2018).
   grad: regress a multi-scale blurred intensity+gradient pyramid — the
@@ -96,10 +98,12 @@ def _blur(x, times):
     return x
 
 
-def grad_targets(x, rich=False):
-    """Alignment-friendly distillation target: a multi-scale pyramid at H/4
-    — intensity and Sobel gradients at blur scales sigma ~ {0, 2, 4, 8}px —
-    projected to 64 dims by a FIXED random map + tanh.
+def grad_targets(x, rich=False, stride=4, out_dim=64):
+    """Alignment-friendly distillation target: a multi-scale pyramid at
+    H/``stride`` — intensity and Sobel gradients at blur scales
+    sigma ~ {0, 2, 4, 8}px — projected to ``out_dim`` dims by a FIXED
+    random map + tanh. (stride=4/out_dim=64 matches layer1 features;
+    stride=8/out_dim=128 matches layer2 — the --layers knob.)
 
     The coarse blurred channels have long correlation lengths, so the
     feature distance has a non-zero gradient toward alignment even from
@@ -116,7 +120,7 @@ def grad_targets(x, rich=False):
     kx = jnp.array([[1., 0., -1.], [2., 0., -2.], [1., 0., -1.]],
                    jnp.float32) / 4.0
     x = x.astype(jnp.float32)
-    base = nnavg_pool(x, 4)                                # [B,32,32,1]
+    base = nnavg_pool(x, stride)                           # [B,H/s,W/s,1]
     kd = jnp.array([[2., 1., 0.], [1., 0., -1.], [0., -1., -2.]],
                    jnp.float32) / 4.0                      # 45deg derivative
     kl = jnp.array([[0., 1., 0.], [1., -4., 1.], [0., 1., 0.]],
@@ -127,9 +131,10 @@ def grad_targets(x, rich=False):
         chans += [b, _sobel(b, kx), _sobel(b, kx.T)]
         if rich:
             chans += [_sobel(b, kd), _sobel(b, kd.T), _sobel(b, kl)]
-    t = jnp.concatenate(chans, axis=-1)                    # [B,32,32,12|24]
-    proj = jax.random.normal(jax.random.PRNGKey(42),
-                             (t.shape[-1], 64)) / jnp.sqrt(float(t.shape[-1]))
+    t = jnp.concatenate(chans, axis=-1)                    # [B,*,*,12|24]
+    proj = jax.random.normal(
+        jax.random.PRNGKey(42),
+        (t.shape[-1], out_dim)) / jnp.sqrt(float(t.shape[-1]))
     return jnp.tanh(t @ proj)
 
 
@@ -138,7 +143,7 @@ def nnavg_pool(x, s):
     return x.reshape(b, h // s, s, w // s, s, c).mean(axis=(2, 4))
 
 
-def grad_targets_pi(x):
+def grad_targets_pi(x, stride=4, out_dim=64):
     """Photometrically invariant variant of grad_targets for PDS-style
     training: gradient-only pyramid (intensity channels dropped — kills
     brightness offsets) normalized by the per-sample mean |g| (kills
@@ -146,16 +151,17 @@ def grad_targets_pi(x):
     kx = jnp.array([[1., 0., -1.], [2., 0., -2.], [1., 0., -1.]],
                    jnp.float32) / 4.0
     x = x.astype(jnp.float32)
-    base = nnavg_pool(x, 4)
+    base = nnavg_pool(x, stride)
     chans = []
     for times in (0, 2, 8, 32):
         b = _blur(base, times) if times else base
         chans += [_sobel(b, kx), _sobel(b, kx.T)]
-    t = jnp.concatenate(chans, axis=-1)                    # [B,32,32,8]
+    t = jnp.concatenate(chans, axis=-1)                    # [B,*,*,8]
     scale = jnp.mean(jnp.abs(t), axis=(1, 2, 3), keepdims=True) + 1e-3
     t = t / scale
-    proj = jax.random.normal(jax.random.PRNGKey(43),
-                             (t.shape[-1], 64)) / jnp.sqrt(float(t.shape[-1]))
+    proj = jax.random.normal(
+        jax.random.PRNGKey(43),
+        (t.shape[-1], out_dim)) / jnp.sqrt(float(t.shape[-1]))
     return jnp.tanh(t @ proj)
 
 
@@ -265,7 +271,12 @@ def warp_gt(patch_2, delta):
 
 
 def main(args):
-    out_layer = 1 if args.pretext.startswith('grad') else None
+    out_layer = args.layers if args.pretext.startswith('grad') else None
+    # Feature geometry of the truncated resnet34: layer-k features have
+    # stride 2^(k+1) and 64*2^(k-1) channels (models/resnet.py). The
+    # distill targets and the InfoNCE valid-mask pooling must match.
+    stride = 2 ** (args.layers + 1)
+    out_dim = 64 * 2 ** (args.layers - 1)
     model = ResNet(arch='resnet34', num_classes=4, output_layer=out_layer,
                    dtype=jnp.bfloat16)
     is_cl = args.pretext.endswith('cl')
@@ -318,7 +329,8 @@ def main(args):
             rgb = geometry.crop_integer(imgs, ox, oy, (128, 128))
             std = lambda g: color.standardize(g, spec.standardize_mean,
                                               spec.standardize_std)
-            target = grad_targets_pi(std(color.rgb_to_grayscale(rgb)))
+            target = grad_targets_pi(std(color.rgb_to_grayscale(rgb)),
+                                     stride=stride, out_dim=out_dim)
             distorted = jax.vmap(
                 photometric.photometric_distort_simple,
                 in_axes=(0, 0, None))(rgb, jax.random.split(kpd, args.batch),
@@ -331,13 +343,13 @@ def main(args):
             # Invariance training: target from the CLEAN patch, input
             # brightness/contrast-jittered (the dominant post-grayscale
             # modes of the reference's PhotometricDistortSimple).
-            target = grad_targets_pi(x)
+            target = grad_targets_pi(x, stride=stride, out_dim=out_dim)
             b = jax.random.uniform(k_b, (args.batch, 1, 1, 1),
                                    minval=-0.5, maxval=0.5)
             c = jax.random.uniform(k_c, (args.batch, 1, 1, 1),
                                    minval=0.6, maxval=1.5)
             return c * (x + b), target
-        return x, grad_targets(x)
+        return x, grad_targets(x, stride=stride, out_dim=out_dim)
 
     def make_cl_batch(key):
         """Two views in correspondence: warp_gt(patch_1, delta) aligns
@@ -350,15 +362,17 @@ def main(args):
                                         k_gen, cl_spec)
         x2 = batch['patch_2']                                  # [B,128,128,1]
         w1, mask = warp_gt(batch['patch_1'], batch['delta'])
-        valid = nnavg_pool(mask, 4)[..., 0]                    # [B,32,32]
+        valid = nnavg_pool(mask, stride)[..., 0]               # [B,H/s,W/s]
         # Distill-anchor BOTH views (each target computed from that view's
         # own pixels): the InfoNCE is per-position normalized, so without
         # an anchor on the warped view its magnitudes are unconstrained —
         # a first attempt anchored only x2 and the extractor learned 13x
         # larger activations on warped inputs, inverting the biHomE
         # triplet (l1 >> l3 at the gt warp; run log in BENCH_NOTES.md).
-        tfn = (grad_targets_pi if args.pretext == 'gradpdscl'
-               else (lambda v: grad_targets(v, rich=args.rich_target)))
+        tfn = ((lambda v: grad_targets_pi(v, stride=stride, out_dim=out_dim))
+               if args.pretext == 'gradpdscl'
+               else (lambda v: grad_targets(v, rich=args.rich_target,
+                                            stride=stride, out_dim=out_dim)))
         if args.basin_weight <= 0:
             return w1, x2, valid, (tfn(w1), tfn(x2)), None
         # Basin-sharpening view: the SAME patch_1 warped by an
@@ -372,7 +386,7 @@ def main(args):
         eps = jax.random.uniform(k_eps, (args.batch, 4, 2),
                                  minval=-1.0, maxval=1.0) * s
         w1e, maske = warp_gt(batch['patch_1'], batch['delta'] + eps)
-        valide = nnavg_pool(maske, 4)[..., 0]
+        valide = nnavg_pool(maske, stride)[..., 0]
         return w1, x2, valid, (tfn(w1), tfn(x2)), (w1e, valide)
 
     variables = model.init(jax.random.PRNGKey(0),
@@ -469,7 +483,9 @@ def main(args):
     aux_store.save_aux_npz(args.out, {'params': jax.device_get(params),
                                       'batch_stats': jax.device_get(
                                           batch_stats)})
-    print(f'Saved aux extractor (conv1/bn1/layer1) to {args.out}')
+    kept = '/'.join(['conv1', 'bn1'] +
+                    [f'layer{k}' for k in range(1, args.layers + 1)])
+    print(f'Saved aux extractor ({kept}) to {args.out}')
 
 
 if __name__ == '__main__':
@@ -503,6 +519,12 @@ if __name__ == '__main__':
                         'uniform negatives. Upweights look-alike positions '
                         '(repeated texture / aperture-problem edges) in '
                         'the partition function')
+    p.add_argument('--layers', type=int, default=1, choices=(1, 2),
+                   help='resnet truncation depth of the trained extractor: '
+                        '1 = conv1/bn1/layer1 (stride-4, 64ch — the '
+                        'reference operating point), 2 = +layer2 (stride-8, '
+                        '128ch). Use with MODEL.HEAD.'
+                        'AUXILIARY_RESNET_OUTPUT_LAYER=2 at train time')
     p.add_argument('--rex', type=int, default=2,
                    help='neighbor-exclusion Chebyshev radius in feature px')
     p.add_argument('--pretext', choices=('rotnet', 'grad', 'gradpi',

@@ -17,6 +17,10 @@ EPOCHS="${EPOCHS:-5}"
 # contrastive-distill extractor); defaults reproduce the recorded demo.
 AUX="${AUX:-aux_gradnat.npz}"
 LOGDIR="${LOGDIR:-log/zeng-bihome-scoco-lr-1e-3}"
+# Extractor truncation depth consumed by the head (layer2 extractors need
+# MODEL.HEAD.AUXILIARY_RESNET_OUTPUT_LAYER=2; margin may need retuning —
+# it must sit at ~20% of the feature-distance scale, BENCH_NOTES.md).
+OUT_LAYER=1
 
 if [ ! -f "$AUX" ]; then
   echo "=== stage 1: frozen extractor ($AUX) ==="
@@ -47,11 +51,17 @@ if [ ! -f "$AUX" ]; then
       python tools/pretrain_aux.py --pretext gradcl --steps 2500 \
           --cl_fine_weight 0.15 --basin_weight 0.3 --cl_hard_beta 0.5 \
           --out "$AUX" ;;
+    aux_clfb_l2.npz)  # fine-negative + basin at layer2 depth (stride-8,
+                      # 128-ch features; sets OUTPUT_LAYER=2 below)
+      python tools/pretrain_aux.py --pretext gradcl --steps 2500 \
+          --cl_fine_weight 0.15 --basin_weight 0.3 --layers 2 \
+          --out "$AUX" ;;
     *)
       echo "unknown AUX=$AUX — pretrain it first (tools/pretrain_aux.py)" >&2
       exit 1 ;;
   esac
 fi
+case "$AUX" in *_l2.npz) OUT_LAYER=2 ;; esac
 
 if [ ! -d log/zeng-orig-pdscoco-lr-1e-3 ]; then
   echo "=== stage 2: supervised warm start (zeng-orig PDS, 3 epochs) ==="
@@ -70,6 +80,7 @@ python train.py --config_file config/s-coco/zeng-bihome-lr-1e-3.yaml \
     --set "LOGGING.DIR=$LOGDIR" \
     --set MODEL.PRETRAINED=log/zeng-orig-pdscoco-lr-1e-3 \
     --set "MODEL.HEAD.AUXILIARY_RESNET_PATH=$AUX" \
+    --set "MODEL.HEAD.AUXILIARY_RESNET_OUTPUT_LAYER=$OUT_LAYER" \
     --set MODEL.HEAD.TRIPLET_AGGREGATION=channel-aware \
     --set "MODEL.HEAD.TRIPLET_MARGIN=$MARGIN" \
     --set SOLVER.GRADIENT_CLIP=1.0 \

@@ -331,9 +331,18 @@ def maybe_load_pretrained_resnets(built, variables, config):
         # Native pretext-trained extractor (tools/pretrain_aux.py).
         from bihome_tpu.utils import aux_store
         ported = aux_store.load_aux_npz(aux_path)
+        # A --layers 2 npz carries layer2 weights the model does not have
+        # at AUXILIARY_RESNET_OUTPUT_LAYER=1 — prune to the model's depth.
+        template = {c: variables.get(c, {}).get('auxiliary_resnet', {})
+                    for c in ('params', 'batch_stats')}
+        ported, dropped = aux_store.prune_to_template(ported, template)
         variables = torch_port.graft(variables, ported,
                                      ('auxiliary_resnet',))
-        print(f'Auxiliary resnet (npz) loaded from {aux_path}')
+        msg = f'Auxiliary resnet (npz) loaded from {aux_path}'
+        if dropped:
+            tops = sorted({p.split('/')[1] for p in dropped})
+            msg += f' (pruned beyond model depth: {", ".join(tops)})'
+        print(msg)
     elif aux_path and os.path.exists(aux_path):
         state = torch_port.load_torch_state_dict(aux_path)
         aux_c = variables['params']['auxiliary_resnet'][
