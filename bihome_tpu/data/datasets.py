@@ -97,6 +97,25 @@ class ImageFolderDataset:
             np.save(out, self.load_image(idx), allow_pickle=True)
 
 
+class HostPrepDataset:
+    """Wraps any dataset with a host-side pre-datagen transform chain
+    (``PairSpec.host_prep``: Rescale / RandomCrop / CenterCrop /
+    ToGrayscale / Standardize parsed from the config TRANSFORMS list,
+    ref: train.py:110-120)."""
+
+    def __init__(self, dataset, host_prep, random_seed=None):
+        from bihome_tpu.data import transforms_host
+        self.dataset = dataset
+        self.apply = transforms_host.build_host_prep(
+            host_prep, np.random.RandomState(random_seed))
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def load_image(self, idx: int) -> np.ndarray:
+        return self.apply(self.dataset.load_image(idx))
+
+
 class SyntheticDataset:
     """Deterministic stand-in when no dataset directory exists."""
 

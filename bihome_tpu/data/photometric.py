@@ -75,6 +75,13 @@ def photometric_distort_simple(image: Array, key: Array,
     image = color.hsv_to_rgb(jnp.stack([h, s, hsv[..., 2]], axis=-1))
 
     c2_coin = jax.random.bernoulli(keys[9]) & (~chain_coin)
+    # Reuses c1_alpha for the trailing slot: exactly ONE of the two contrast
+    # slots is active per sample (chain_coin gates them exclusively), so the
+    # applied alpha is a single uniform(lower,upper) draw either way —
+    # distributionally identical to a fresh draw. Keeping one draw also keeps
+    # the PRNG stream layout stable for the numpy golden mirror
+    # (data/numpy_ref.py). Do NOT "fix" this by drawing a second alpha
+    # without updating numpy_ref and the datagen golden tests.
     image = image * jnp.where(c2_coin, c1_alpha, 1.0)
 
     # Lighting noise: random channel permutation (only when max_delta > 0,
@@ -84,4 +91,52 @@ def photometric_distort_simple(image: Array, key: Array,
     perm_idx = jax.random.randint(ln_key2, (), 0, 6)
     perm = _PERMS[perm_idx]
     permuted = jnp.take(image, perm, axis=-1)
+    return jnp.where(ln_coin, permuted, image)
+
+
+def photometric_distort_full(image: Array, key: Array) -> Array:
+    """The FULL SSD photometric chain with its fixed per-op parameters
+    (ref: src/data/transforms.py:265-293): brightness delta 32,
+    contrast/saturation alpha 0.5-1.5, hue +-18deg, channel permutation;
+    the leading or trailing contrast slot is skipped per sample. This is
+    the on-device equivalent of the dict-stage ``PhotometricDistort``
+    config transform (distinct from PhotometricDistortSimple, whose
+    strength is the single max_delta knob).
+
+    image: one float [H,W,C] (grayscale C=1 passes through untouched by the
+    color ops' definitions only if C==3; the reference indexes channels
+    unconditionally, so C==3 is required — same constraint here).
+    Use vmap for batches.
+    """
+    keys = jax.random.split(key, 11)
+
+    b_coin = jax.random.bernoulli(keys[0])
+    b_delta = jax.random.uniform(keys[1], (), minval=-32.0, maxval=32.0)
+    image = image + jnp.where(b_coin, b_delta, 0.0)
+
+    chain_coin = jax.random.bernoulli(keys[2])
+    c1_coin = jax.random.bernoulli(keys[3]) & chain_coin
+    c_alpha = jax.random.uniform(keys[4], (), minval=0.5, maxval=1.5)
+    image = image * jnp.where(c1_coin, c_alpha, 1.0)
+
+    hsv = color.rgb_to_hsv(image)
+    s_coin = jax.random.bernoulli(keys[5])
+    s_alpha = jax.random.uniform(keys[6], (), minval=0.5, maxval=1.5)
+    h_coin = jax.random.bernoulli(keys[7])
+    h_delta = jax.random.uniform(keys[8], (), minval=-18.0, maxval=18.0)
+    h = hsv[..., 0] + jnp.where(h_coin, h_delta, 0.0)
+    h = jnp.where(h > 360.0, h - 360.0, h)
+    h = jnp.where(h < 0.0, h + 360.0, h)
+    s = hsv[..., 1] * jnp.where(s_coin, s_alpha, 1.0)
+    image = color.hsv_to_rgb(jnp.stack([h, s, hsv[..., 2]], axis=-1))
+
+    c2_coin = jax.random.bernoulli(keys[9]) & (~chain_coin)
+    # Single alpha draw shared by the two exclusive contrast slots — see the
+    # equivalence note in photometric_distort_simple.
+    image = image * jnp.where(c2_coin, c_alpha, 1.0)
+
+    ln_key1, ln_key2 = jax.random.split(keys[10])
+    ln_coin = jax.random.bernoulli(ln_key1)
+    perm_idx = jax.random.randint(ln_key2, (), 0, 6)
+    permuted = jnp.take(image, _PERMS[perm_idx], axis=-1)
     return jnp.where(ln_coin, permuted, image)

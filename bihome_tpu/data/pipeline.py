@@ -73,6 +73,16 @@ class PairSpec:
     # while halving the dominant [P,W] tent-contraction HBM traffic
     # (train-time only; the eval/test spec stays float32).
     warp_dtype: str = 'float32'
+    # Host-side pre-datagen transforms parsed from TRANSFORMS entries that
+    # precede HomographyNetPrep in the reference's (images, target) tuple
+    # stage: (ClassName, ctor_args) pairs consumed by
+    # transforms_host.build_host_prep and applied per image by the dataset
+    # loaders (ref: train.py:110-120 accepts any transform class by name).
+    host_prep: Tuple[Tuple[str, Tuple[Any, ...]], ...] = ()
+    # Dict-stage full-SSD PhotometricDistort keys
+    # (ref: src/data/transforms.py:265-293): applied on-device after pair
+    # assembly, before grayscale/standardize (the reference list order).
+    photometric_full_keys: Tuple[str, ...] = ()
 
     @staticmethod
     def from_transforms(transforms: Sequence[Dict[str, List[Any]]],
@@ -80,11 +90,17 @@ class PairSpec:
         """Build from a reference-format TRANSFORMS yaml list.
 
         Each entry is {ClassName: [args...]} as produced by yaml.full_load on
-        the reference configs (ref: train.py:110-120). Recognized transforms:
-        HomographyNetPrep, DictToGrayscale, DictStandardize, DictToTensor
-        (layout no-op).
+        the reference configs (ref: train.py:110-120). The full reference
+        vocabulary (src/data/transforms.py:11-743) is accepted:
+        HomographyNetPrep / ChangeAwarePrep and the Dict* stages map onto the
+        on-device datagen; Rescale / RandomCrop / CenterCrop / ToGrayscale /
+        Standardize become host-side per-image prep (``host_prep``);
+        PhotometricDistort becomes the on-device full-SSD chain
+        (``photometric_full_keys``); the tensor-layout transforms are no-ops
+        in NHWC.
         """
         kwargs: Dict[str, Any] = {}
+        host_prep: List[Tuple[str, Tuple[Any, ...]]] = []
         for entry in transforms:
             (name, args), = entry.items()
             if name == 'HomographyNetPrep':
@@ -108,11 +124,22 @@ class PairSpec:
                 keys = tuple(args[0]) if args and args[0] else (
                     'patch_1', 'patch_2')
                 kwargs['change_aware_keys'] = keys
-            elif name == 'DictToTensor':
+            elif name in ('DictToTensor', 'ToTensorWithTarget'):
                 pass  # NHWC layout throughout; nothing to do.
+            elif name == 'PhotometricDistort':
+                kwargs['photometric_full_keys'] = tuple(args[0])
+            elif name in ('Rescale', 'RandomCrop', 'CenterCrop'):
+                size = args[0]
+                size = tuple(size) if isinstance(size, (list, tuple)) else size
+                host_prep.append((name, (size,)))
+            elif name == 'ToGrayscale':
+                host_prep.append((name, ()))
+            elif name == 'Standardize':
+                host_prep.append((name, (args[0], args[1])))
             else:
                 raise ValueError(f'Unknown transform in config: {name}')
-        return PairSpec(emit_images=tuple(emit_images), **kwargs)
+        return PairSpec(emit_images=tuple(emit_images),
+                        host_prep=tuple(host_prep), **kwargs)
 
 
 def _sample_patch_position(key: Array, batch: int, image_hw: Tuple[int, int],
@@ -205,14 +232,17 @@ def _perspective_field(homography: Array, corners0: Array,
 def generate_pairs_deterministic(
         image: Array, corners: Array, delta: Array, spec: PairSpec,
         image_1: Optional[Array] = None,
-        image_2: Optional[Array] = None) -> Dict[str, Array]:
+        image_2: Optional[Array] = None,
+        pdf_keys: Optional[Array] = None) -> Dict[str, Array]:
     """Deterministic pair assembly given sampled (corners, delta).
 
     Split from :func:`generate_pairs` so golden tests can inject fixed
     randomness and compare against an independent numpy implementation.
     image/image_1/image_2: [B,H,W,3] float (image_1/2 default to image —
     i.e. no photometric distortion). corners: [B,4,2] float (int-valued),
-    delta: [B,4,2] float.
+    delta: [B,4,2] float. pdf_keys: [B] PRNG keys for the dict-stage
+    full-SSD PhotometricDistort (``spec.photometric_full_keys``); None
+    skips it.
     """
     if image_1 is None:
         image_1 = image
@@ -222,11 +252,20 @@ def generate_pairs_deterministic(
     x0 = corners[:, 0, 0].astype(jnp.int32)
     y0 = corners[:, 0, 1].astype(jnp.int32)
 
+    pdf_keys_active = (spec.photometric_full_keys if pdf_keys is not None
+                       else ())
+
     # Grayscale commutes with cropping and with bilinear warping (both are
     # linear in pixel values), so convert BEFORE the warp when the patch is
-    # grayscaled anyway — 3x fewer sampled channels on the hot path.
-    patch_1_gray = 'patch_1' in spec.grayscale_keys
-    patch_2_gray = 'patch_2' in spec.grayscale_keys
+    # grayscaled anyway — 3x fewer sampled channels on the hot path. Keys
+    # still awaiting the (non-linear) full photometric chain, and sources a
+    # host-side ToGrayscale already converted, are excluded.
+    patch_1_gray = ('patch_1' in spec.grayscale_keys
+                    and 'patch_1' not in pdf_keys_active
+                    and image_1.shape[-1] == 3)
+    patch_2_gray = ('patch_2' in spec.grayscale_keys
+                    and 'patch_2' not in pdf_keys_active
+                    and image_2.shape[-1] == 3)
     patch_1_src = (color.rgb_to_grayscale(image_1) if patch_1_gray
                    else image_1)
     patch_2_src = (color.rgb_to_grayscale(image_2) if patch_2_gray
@@ -263,6 +302,16 @@ def generate_pairs_deterministic(
     if 'image_2' in spec.emit_images:
         # Only here do we pay for the full-image warp (vis / photometric-eval).
         batch['image_2'] = geometry.warp_image(image_2, homography)
+
+    # Dict-stage full-SSD photometric chain (PhotometricDistort config
+    # transform) — before grayscale/standardize, the reference list order.
+    if pdf_keys is not None and spec.photometric_full_keys:
+        for i, name in enumerate(spec.photometric_full_keys):
+            if name in batch:
+                per_key = jax.vmap(
+                    lambda k, i=i: jax.random.fold_in(k, i))(pdf_keys)
+                batch[name] = jax.vmap(photometric.photometric_distort_full)(
+                    batch[name], per_key)
 
     # Grayscale then standardize, mirroring the transform order
     # (ref: config TRANSFORMS lists). patch_1/patch_2 were pre-grayscaled
@@ -338,9 +387,12 @@ def generate_pairs(images: Array, key: Array,
     # (ref: src/data/transforms.py:538).
     delta = jax.random.randint(k_delta, (b, 4, 2), -spec.rho, spec.rho)
 
+    pdf_keys = (jax.random.split(jax.random.fold_in(key, 13), b)
+                if spec.photometric_full_keys else None)
     batch = _assemble_pairs(images, corners, delta,
                             jax.random.split(k_pd1, b),
-                            jax.random.split(k_pd2, b), spec)
+                            jax.random.split(k_pd2, b), spec,
+                            pdf_keys=pdf_keys)
 
     if spec.blob_porosity > 0 and b > 1:
         from bihome_tpu.data import blobs
@@ -382,12 +434,16 @@ def generate_pairs_per_sample(images: Array, keys: Array,
     corners = _corners_from_position(pos_x, pos_y, ps)
     delta = jax.vmap(
         lambda k: jax.random.randint(k, (4, 2), -rho, rho))(k_delta)
-    return _assemble_pairs(images, corners, delta, k_pd1, k_pd2, spec)
+    pdf_keys = (jax.vmap(lambda k: jax.random.fold_in(k, 13))(keys)
+                if spec.photometric_full_keys else None)
+    return _assemble_pairs(images, corners, delta, k_pd1, k_pd2, spec,
+                           pdf_keys=pdf_keys)
 
 
 def _assemble_pairs(images: Array, corners: Array, delta: Array,
                     pd1_keys: Array, pd2_keys: Array,
-                    spec: PairSpec) -> Dict[str, Array]:
+                    spec: PairSpec,
+                    pdf_keys: Optional[Array] = None) -> Dict[str, Array]:
     """Shared post-randomness assembly: photometric distortion + patch
     extraction/warp, window-first when no full images are emitted."""
     b, h, w, _ = images.shape
@@ -417,7 +473,7 @@ def _assemble_pairs(images: Array, corners: Array, delta: Array,
         corners_local = (corners - origin).astype(jnp.float32)
         batch = generate_pairs_deterministic(
             windows, corners_local, delta.astype(jnp.float32),
-            spec, image_1=win_1, image_2=win_2)
+            spec, image_1=win_1, image_2=win_2, pdf_keys=pdf_keys)
         # Restore absolute-frame outputs (diff-field targets and patches are
         # translation-invariant; corners/homography are frame-dependent).
         batch['corners'] = corners.astype(jnp.float32)
@@ -428,5 +484,5 @@ def _assemble_pairs(images: Array, corners: Array, delta: Array,
         image_2 = distort(images, pd2_keys) if pd2 else images
         batch = generate_pairs_deterministic(
             images, corners.astype(jnp.float32), delta.astype(jnp.float32),
-            spec, image_1=image_1, image_2=image_2)
+            spec, image_1=image_1, image_2=image_2, pdf_keys=pdf_keys)
     return batch

@@ -1,7 +1,8 @@
 """Host-side transform parity: the reference transforms not used by any
 shipped config but part of its public surface (SURVEY §2.2).
 
-  * RandomCrop          (ref: src/data/transforms.py:49-84)
+  * Rescale / RandomCrop / CenterCrop (ref: src/data/transforms.py:11-122)
+  * ToGrayscale / Standardize         (ref: src/data/transforms.py:333-378)
   * PhotometricDistort  (ref: src/data/transforms.py:265-293) — the full
     SSD-style chain with fixed per-op parameters (brightness delta 32,
     contrast/saturation 0.5-1.5, hue 18deg), unlike PhotometricDistortSimple
@@ -13,15 +14,125 @@ shipped config but part of its public surface (SURVEY §2.2).
 
 All operate on the reference's (images, target) tuple protocol with a
 seeded np.random.RandomState, matching call order exactly.
+:func:`build_host_prep` compiles the pre-datagen subset (parsed from a
+config TRANSFORMS list by PairSpec.from_transforms into
+``PairSpec.host_prep``) into a single per-image callable for the host
+dataset loaders.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
 _PERMS = ((0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0))
+
+
+def _resize_bilinear(image: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
+    """Bilinear resize via PIL (cv2 is unavailable here; documented
+    divergence: PIL vs cv2 bilinear differ at sub-LSB level)."""
+    from PIL import Image
+    src = image
+    squeeze = src.ndim == 3 and src.shape[-1] == 1
+    if squeeze:
+        src = src[..., 0]
+    was_float = src.dtype != np.uint8
+    out = np.asarray(Image.fromarray(
+        src if not was_float else src.astype(np.float32)).resize(
+            (new_w, new_h), Image.BILINEAR))
+    if squeeze:
+        out = out[..., None]
+    return out
+
+
+class Rescale:
+    """Aspect-aware resize (ref: src/data/transforms.py:11-46).
+
+    int ``output_size``: the SMALLER edge is matched to it (the bigger edge
+    scales by the same ratio — the reference docstring says 'bigger' but the
+    code matches the smaller edge; we follow the code). tuple (w, h):
+    aspect-preserving cover of the target box.
+    """
+
+    def __init__(self, output_size: Union[int, Tuple[int, int]],
+                 random_state: Optional[np.random.RandomState] = None):
+        assert isinstance(output_size, (int, tuple, list))
+        self.output_size = (tuple(output_size)
+                            if not isinstance(output_size, int)
+                            else output_size)
+
+    def __call__(self, data):
+        images, targets = data
+        images = list(images)
+        for i, img in enumerate(images):
+            h, w = img.shape[:2]
+            if isinstance(self.output_size, int):
+                if h > w:
+                    new_h, new_w = self.output_size * h / w, self.output_size
+                else:
+                    new_h, new_w = self.output_size, self.output_size * w / h
+            else:
+                src_ratio = h / w
+                target_w, target_h = self.output_size
+                if src_ratio < target_h / target_w:
+                    new_w, new_h = (int(np.round(target_h / src_ratio)),
+                                    target_h)
+                else:
+                    new_w, new_h = (target_w,
+                                    int(np.round(target_w * src_ratio)))
+            images[i] = _resize_bilinear(img, int(new_w), int(new_h))
+        return images, targets
+
+
+class CenterCrop:
+    """Center crop (ref: src/data/transforms.py:87-122; note the reference
+    reads the tuple as (w, h))."""
+
+    def __init__(self, output_size: Union[int, Tuple[int, int]],
+                 random_state: Optional[np.random.RandomState] = None):
+        if isinstance(output_size, int):
+            output_size = (output_size, output_size)
+        assert len(output_size) == 2
+        self.output_size = tuple(output_size)
+
+    def __call__(self, data):
+        images, targets = data
+        images = list(images)
+        for i, img in enumerate(images):
+            h, w = img.shape[:2]
+            new_w, new_h = self.output_size
+            top = (h - new_h) // 2 if h != new_h else 0
+            left = (w - new_w) // 2 if w != new_w else 0
+            images[i] = img[top:top + new_h, left:left + new_w]
+        return images, targets
+
+
+class ToGrayscale:
+    """Luma grayscale of every image (ref: src/data/transforms.py:333-341)."""
+
+    def __call__(self, data):
+        images, targets = data
+        images = [np.expand_dims(img[:, :, 0] * 0.299 + img[:, :, 1] * 0.587
+                                 + img[:, :, 2] * 0.114, axis=-1)
+                  for img in images]
+        return images, targets
+
+
+class Standardize:
+    """(x/255 - mean)/std of every image
+    (ref: src/data/transforms.py:357-366)."""
+
+    def __init__(self, mean, std,
+                 random_state: Optional[np.random.RandomState] = None):
+        self.mean = mean[0] if isinstance(mean, (list, tuple)) else mean
+        self.std = std[0] if isinstance(std, (list, tuple)) else std
+
+    def __call__(self, data):
+        images, targets = data
+        images = [(img.astype(np.float32) / 255.0 - self.mean) / self.std
+                  for img in images]
+        return images, targets
 
 
 class RandomCrop:
@@ -115,6 +226,42 @@ class ToTensorWithTarget:
         images = [np.transpose(np.asarray(img), (2, 0, 1)) for img in images]
         out_targets = (np.asarray(targets) if targets is not None else None)
         return np.asarray(images), out_targets
+
+
+_HOST_PREP = {
+    'Rescale': Rescale,
+    'RandomCrop': RandomCrop,
+    'CenterCrop': CenterCrop,
+    'ToGrayscale': ToGrayscale,
+    'Standardize': Standardize,
+}
+
+
+def build_host_prep(entries: Sequence[Tuple[str, Tuple[Any, ...]]],
+                    random_state: Optional[np.random.RandomState] = None
+                    ) -> Callable[[np.ndarray], np.ndarray]:
+    """Compile ``PairSpec.host_prep`` entries into one per-image callable.
+
+    Each entry is (ClassName, ctor_args) as parsed from the config
+    TRANSFORMS list (ref: train.py:110-120 instantiates the same classes by
+    name). The chain runs on the (images, target) tuple protocol with a
+    single image, before the on-device datagen.
+    """
+    chain = []
+    for name, args in entries:
+        cls = _HOST_PREP[name]
+        try:
+            chain.append(cls(*args, random_state=random_state))
+        except TypeError:
+            chain.append(cls(*args))
+
+    def apply(image: np.ndarray) -> np.ndarray:
+        data = ([image], None)
+        for t in chain:
+            data = t(data)
+        return np.ascontiguousarray(data[0][0])
+
+    return apply
 
 
 def _rgb_to_hsv(im: np.ndarray) -> np.ndarray:

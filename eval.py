@@ -105,6 +105,9 @@ def main(args):
                                 image_size=tuple(args.image_size),
                                 synthetic_seed=1,
                                 dataset_name=data_cfg.get('NAME', 'coco')))
+    if built.test_pair_spec.host_prep:
+        ds = datasets.HostPrepDataset(ds, built.test_pair_spec.host_prep,
+                                      random_seed=sampler_cfg.get('TEST_SEED'))
     loader = datasets.BatchLoader(ds, batch_size, test_samples,
                                   random_seed=sampler_cfg.get('TEST_SEED'))
 

@@ -63,6 +63,10 @@ def main(args):
         test_steps = min(test_steps, args.steps)
     image_size = tuple(args.image_size)
 
+    # ---------------- model (built first: data loading consults the
+    # parsed pair specs, e.g. host_prep transform chains) ----------------
+    built = config_lib.build_model(config)
+
     # ---------------- data ----------------
     def make_ds(split_key, seed):
         path = data_cfg.get(split_key, '')
@@ -103,6 +107,16 @@ def main(args):
         train_ds = make_ds('TRAIN_SPLIT', 0)
         test_ds = (make_ds('TEST_SPLIT', 1)
                    if 'TEST_SPLIT' in data_cfg else None)
+        # Host-side pre-datagen transforms from the config TRANSFORMS list
+        # (Rescale/RandomCrop/CenterCrop/ToGrayscale/Standardize).
+        if built.pair_spec.host_prep:
+            train_ds = datasets.HostPrepDataset(
+                train_ds, built.pair_spec.host_prep,
+                random_seed=sampler_cfg.get('TRAIN_SEED'))
+        if test_ds is not None and built.test_pair_spec.host_prep:
+            test_ds = datasets.HostPrepDataset(
+                test_ds, built.test_pair_spec.host_prep,
+                random_seed=sampler_cfg.get('TEST_SEED'))
 
         def make_loader(ds, n_samples, seed):
             # .bhpk packs stream through the native C++ prefetch ring
@@ -119,8 +133,7 @@ def main(args):
                                    sampler_cfg.get('TEST_SEED'))
                        if test_ds is not None and test_steps > 0 else None)
 
-    # ---------------- model/optimizer ----------------
-    built = config_lib.build_model(config)
+    # ---------------- optimizer ----------------
     tx, schedule = ts_lib.make_optimizer(
         frozen_prefixes=(('auxiliary_resnet',)
                          if built.head_cfg.auxiliary_resnet_freeze else ()),
