@@ -6,11 +6,14 @@ loss + backward + Adam) on synthetic 320x240 source images and reports
 sustained throughput against the BASELINE.json target of 10,000 128x128
 image-pairs/sec/chip on TPU v5e.
 
-By default BOTH tracked configs run every time: the flagship zeng-biHomE
-(Rethinking DoubleLine + DSAC + biHomE, batch 64) first, then the headline
+By default ALL FOUR tracked config families run every time
+(BASELINE.md "Tracked configs"): the flagship zeng-biHomE (Rethinking
+DoubleLine + DSAC + biHomE, batch 64) first, then zhang-orig (ContentAware
++ TripletHead) and nguyen-orig (PhotometricHead), then the headline
 detone-orig (DeTone supervised, batch 128) LAST — the driver parses the
-final JSON line, and the zeng line stays visible in the tail so flagship
-regressions are driver-visible (round-1 review asked for exactly this).
+final JSON line, and the other lines stay visible in the tail so
+regressions are driver-visible. BENCH_FAST=1 restores the two-config
+(zeng+detone) sweep.
 
 Prints one JSON line per config; the last line is the headline:
   {"metric": ..., "value": N, "unit": "pairs/s/chip", "vs_baseline": N/10000}
@@ -137,7 +140,16 @@ def main():
         runs = [
             ('config/pds-coco/zeng-bihome-lr-1e-3.yaml',
              int(os.environ.get('BENCH_BATCH', '64'))),
-            # Headline LAST: the driver parses the final line.
+        ]
+        if not os.environ.get('BENCH_FAST'):
+            runs += [
+                ('config/pds-coco/zhang-orig-lr-1e-2.yaml',
+                 int(os.environ.get('BENCH_BATCH', '64'))),
+                ('config/pds-coco/nguyen-orig-lr-5e-3.yaml',
+                 int(os.environ.get('BENCH_BATCH', '64'))),
+            ]
+        # Headline LAST: the driver parses the final line.
+        runs += [
             ('config/pds-coco/detone-orig-lr-5e-3.yaml',
              int(os.environ.get('BENCH_BATCH', '128'))),
         ]
