@@ -35,6 +35,7 @@ equally valid roundings of the same f32 math.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -45,10 +46,14 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 # Lanes (pixels) per program. H*W = 128*128 = 16384 divides every real M;
-# the wrapper pads otherwise. VMEM per program ~= 5 * Cmid * TP * 4 bytes
-# and the scoped-vmem stack limit is 16MB.
-_TP = 4096
-_TP_WIDE = 1024   # for Cmid > 128 (ResNet50-flavor head, Cmid=512)
+# the wrapper pads otherwise. VMEM per program ~= 5 * Cmid * TP * 4 bytes;
+# v5e has 128MB VMEM and we raise the scoped limit past the 16MB default
+# (_VMEM_LIMIT) because a FINE grid is what hurts: at TP=4096 the zeng
+# head is a 512-program grid and ~2us/program of launch overhead costs
+# ~1ms per pass (profiled r3) — 4x the kernel's HBM traffic.
+_TP = int(os.environ.get('BIHOME_HEAD_TP', '16384'))
+_TP_WIDE = 4096   # for Cmid > 128 (ResNet50-flavor head, Cmid=512)
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _interpret() -> bool:
@@ -102,77 +107,64 @@ def _fwd_kernel(x_ref, g1t_ref, c1_ref, w2_ref, b2_ref, out_ref):
     out_ref[...] = out + b2_ref[...]
 
 
-def _bwd_c_kernel_impl(x_ref, g_ref, w1t_ref, gis_ref, c1_ref, w2_ref,
-                       sums_ref, dw2_ref, db2_ref):
-    """Pass C: accumulate sum(da), sum(da*mid') [Cmid,2], dw2 [Cmid,Cout],
-    db2 [Cout,1] while recomputing mid' = w1t @ x (bias-less pre-BN) and
-    a = gis*mid' + c1. sum(da*n) is recovered on the XLA side as
-    is*sum(da*mid') + is*(b1-mu)*sum(da) — no division by gamma, so the
-    formulation stays exact even at gamma ~ 0."""
+def _bwd_kernel(x_ref, g_ref, w1t_ref, gis_ref, c1_ref, w2gis_ref, w1_ref,
+                dx_ref, m0_ref, m1_ref, db2_ref, dw1_ref):
+    """Single-pass backward (r3 rewrite; replaces the old two-pass C/D).
+
+    The old design recomputed mid twice and spent ~19 VPU passes over the
+    [Cmid, M] mid-space per step (profiled 2.0 ms on zeng) because the
+    batch-stat correction dmid = gis*da - k1*mid + k0 needs global sums
+    (k1/k0) before dx can be formed. The fix is algebraic: every
+    k-dependent term is LINEAR in x with tiny rank —
+        dx   = w1 e - (w1 diag(k1) w1^T) x + (w1 k0) 1^T
+        dw1  = x e^T - m (S w1) diag(k1) + m ex k0^T      (S = x^T x / m)
+        db1  = gis.S0 - k1 m mean_lin + m k0
+    with e = gis*da = mask . ((gis.w2) g) — so ONE kernel accumulates the
+    mask moments and the main terms, and the corrections are [Cin,Cin]-
+    sized XLA ops outside. All BN reductions come mask-side with PLAIN w2
+    (no division by gamma; exact at gamma == 0):
+        M0[c,o] = sum mask_c g_o          M1[c,o] = sum (mask.mid)_c g_o
+        S0 = sum(da)      = (w2 . M0) 1   S1 = sum(da*mid) = (w2 . M1) 1
+        dw2 = gis.M1 + c1.M0              dgamma = is.S1 + cn.S0
+    """
     x = x_ref[...]
-    g = g_ref[...].astype(jnp.float32)                         # [Cout, TP]
+    g = g_ref[...]                                             # [Cout, TP]
     mid = jax.lax.dot_general(w1t_ref[...].astype(x.dtype), x,
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     a = gis_ref[...] * mid + c1_ref[...]
-    r = jnp.maximum(a, 0.0)
-    # da = (w2 @ g) * (a > 0); Cout is tiny -> broadcast-mult instead of a
-    # K=Cout MXU dot.
-    w2 = w2_ref[...]                                           # [Cmid, Cout]
-    cout = w2.shape[1]
-    da = jnp.zeros_like(a)
-    for co in range(cout):
-        da = da + w2[:, co:co + 1] * g[co:co + 1, :]
-    da = jnp.where(a > 0.0, da, 0.0)
+    maskf = jnp.where(a > 0.0, 1.0, 0.0)
+    # e_un = (gis.w2) @ g: Cout is tiny, so a K=Cout MXU dot would run at
+    # ~1.5% utilization — two VPU broadcast-muladds beat it (measured).
+    w2gis = w2gis_ref[...]
+    gf = g.astype(jnp.float32)
+    e_un = jnp.zeros_like(a)
+    for co in range(w2gis.shape[1]):
+        e_un = e_un + w2gis[:, co:co + 1] * gf[co:co + 1, :]
+    e = maskf * e_un
+    e_c = e.astype(x.dtype)
 
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        sums_ref[...] = jnp.zeros_like(sums_ref)
-        dw2_ref[...] = jnp.zeros_like(dw2_ref)
-        db2_ref[...] = jnp.zeros_like(db2_ref)
-
-    sums = jnp.concatenate(
-        [jnp.sum(da, axis=1, keepdims=True),
-         jnp.sum(da * mid, axis=1, keepdims=True)], axis=1)    # [Cmid, 2]
-    sums_ref[...] += sums
-    dw2_ref[...] += jax.lax.dot_general(
-        r.astype(x.dtype), g.astype(x.dtype), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                    # [Cmid, Cout]
-    db2_ref[...] += jnp.sum(g, axis=1, keepdims=True)          # [Cout, 1]
-
-
-def _bwd_d_kernel(x_ref, g_ref, w1t_ref, gis_ref, c1_ref, w2_ref, k1_ref,
-                  k0_ref, w1_ref, dx_ref, dw1_ref, db1_ref):
-    """Pass D: dmid = gis*da - k1*mid' + k0 -> dx (written per tile),
-    dw1/db1 accumulated. k1/k0 carry the batch-stat correction terms
-    (zero in eval mode)."""
-    x = x_ref[...]
-    g = g_ref[...].astype(jnp.float32)
-    mid = jax.lax.dot_general(w1t_ref[...].astype(x.dtype), x,
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    a = gis_ref[...] * mid + c1_ref[...]
-    w2 = w2_ref[...]
-    cout = w2.shape[1]
-    da = jnp.zeros_like(a)
-    for co in range(cout):
-        da = da + w2[:, co:co + 1] * g[co:co + 1, :]
-    da = jnp.where(a > 0.0, da, 0.0)
-    dmid = gis_ref[...] * da - k1_ref[...] * mid + k0_ref[...]
-    dmid_c = dmid.astype(x.dtype)
     dx_ref[...] = jax.lax.dot_general(
-        w1_ref[...].astype(x.dtype), dmid_c, (((1,), (0,)), ((), ())),
+        w1_ref[...].astype(x.dtype), e_c, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dx_ref.dtype)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
+        m0_ref[...] = jnp.zeros_like(m0_ref)
+        m1_ref[...] = jnp.zeros_like(m1_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
         dw1_ref[...] = jnp.zeros_like(dw1_ref)
-        db1_ref[...] = jnp.zeros_like(db1_ref)
 
+    m0_ref[...] += jax.lax.dot_general(
+        maskf, gf, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                    # [Cmid, Cout]
+    m1_ref[...] += jax.lax.dot_general(
+        maskf * mid, gf, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                    # [Cmid, Cout]
+    db2_ref[...] += jnp.sum(gf, axis=1, keepdims=True)         # [Cout, 1]
     dw1_ref[...] += jax.lax.dot_general(
-        x, dmid_c, (((1,), (1,)), ((), ())),
+        x, e_c, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                    # [Cin, Cmid]
-    db1_ref[...] += jnp.sum(dmid, axis=1, keepdims=True)       # [Cmid, 1]
 
 
 def _const_spec(shape):
@@ -203,12 +195,15 @@ def _run_fwd(xt, w1, b1, gamma, beta, w2, b2, mu, var, eps):
         out_specs=pl.BlockSpec((cout, tp), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((cout, m), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(xt, g1t.astype(xt.dtype), c1, w2.astype(jnp.float32), _col(b2))
     return out
 
 
 def _run_bwd(xt, gt, w1, b1, gamma, beta, w2, mu, var, eps, train_stats):
+    """One Pallas pass + [Cin,Cin]-rank XLA corrections (see _bwd_kernel)."""
     cin, m = xt.shape
     cmid = w1.shape[1]
     cout = w2.shape[1]
@@ -218,50 +213,61 @@ def _run_bwd(xt, gt, w1, b1, gamma, beta, w2, mu, var, eps, train_stats):
     gis = gamma * inv_s
     cn = inv_s * (b1 - mu)
     c1 = gamma * cn + beta
-    w1t = w1.T.astype(jnp.float32)                             # [Cmid, Cin]
-    args = (xt, gt, w1t.astype(xt.dtype), _col(gis), _col(c1),
-            w2.astype(jnp.float32))
+    w1f = w1.astype(jnp.float32)
+    w2f = w2.astype(jnp.float32)
+    args = (xt, gt, w1f.T.astype(xt.dtype), _col(gis), _col(c1),
+            w2f * gis[:, None], w1f)
     const_in = [_const_spec(s.shape) for s in args[2:]]
     x_spec = pl.BlockSpec((cin, tp), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
     g_spec = pl.BlockSpec((cout, tp), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
 
-    sums, dw2, db2 = pl.pallas_call(
-        _bwd_c_kernel_impl,
+    dx, m0, m1, db2, dw1 = pl.pallas_call(
+        _bwd_kernel,
         grid=(nb,),
         in_specs=[x_spec, g_spec] + const_in,
-        out_specs=(_const_spec((cmid, 2)), _const_spec((cmid, cout)),
-                   _const_spec((cout, 1))),
-        out_shape=(jax.ShapeDtypeStruct((cmid, 2), jnp.float32),
+        out_specs=(x_spec, _const_spec((cmid, cout)),
+                   _const_spec((cmid, cout)), _const_spec((cout, 1)),
+                   _const_spec((cin, cmid))),
+        out_shape=(jax.ShapeDtypeStruct((cin, m), xt.dtype),
                    jax.ShapeDtypeStruct((cmid, cout), jnp.float32),
-                   jax.ShapeDtypeStruct((cout, 1), jnp.float32)),
+                   jax.ShapeDtypeStruct((cmid, cout), jnp.float32),
+                   jax.ShapeDtypeStruct((cout, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((cin, cmid), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(*args)
 
-    sum_da = sums[:, 0]
-    sum_dan = inv_s * sums[:, 1] + cn * sum_da         # sum(da * n), exact
+    # Mask-side moments -> every BN reduction, with plain w2 (exact at
+    # gamma == 0; no division anywhere).
+    sum_da = jnp.sum(w2f * m0, axis=1)                         # S0 [Cmid]
+    sum_da_mid = jnp.sum(w2f * m1, axis=1)                     # S1 [Cmid]
+    sum_dan = inv_s * sum_da_mid + cn * sum_da                 # = dgamma
+    dw2 = gis[:, None] * m1 + c1[:, None] * m0
+    db1 = gis * sum_da
     if train_stats:
-        k1 = _col(gis * inv_s * (sum_dan / m))
-        k0 = _col(-gis * (sum_da / m) - gis * (sum_dan / m) * cn)
-    else:
-        k1 = jnp.zeros((cmid, 1), jnp.float32)
-        k0 = jnp.zeros((cmid, 1), jnp.float32)
-    dx, dw1, db1 = pl.pallas_call(
-        _bwd_d_kernel,
-        grid=(nb,),
-        in_specs=[x_spec, g_spec] + const_in + [
-            _const_spec((cmid, 1)), _const_spec((cmid, 1)),
-            _const_spec((cin, cmid))],
-        out_specs=(x_spec, _const_spec((cin, cmid)),
-                   _const_spec((cmid, 1))),
-        out_shape=(jax.ShapeDtypeStruct((cin, m), xt.dtype),
-                   jax.ShapeDtypeStruct((cin, cmid), jnp.float32),
-                   jax.ShapeDtypeStruct((cmid, 1), jnp.float32)),
-        interpret=_interpret(),
-    )(*args, k1, k0, w1.astype(jnp.float32))
+        k1 = gis * inv_s * (sum_dan / m)
+        k0 = -gis * (sum_da / m) - gis * (sum_dan / m) * cn
+        # Rank-Cin corrections, all linear in x:
+        #   dx  -= x (w1 diag(k1) w1^T);  dx += (w1 k0) 1^T
+        #   dw1 -= (x^T x) w1 diag(k1);   dw1 += (sum x) k0^T
+        #   db1 -= k1 . sum(mid');        db1 += m k0
+        a_mat = (w1f * k1[None, :]) @ w1f.T                    # [Cin, Cin]
+        sx = jnp.sum(xt.astype(jnp.float32), axis=1)           # [Cin]
+        sxx_w1 = jax.lax.dot_general(
+            xt, xt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) @ w1f          # [Cin, Cmid]
+        corr = jax.lax.dot_general(
+            a_mat.astype(xt.dtype), xt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dx = (dx.astype(jnp.float32) - corr
+              + (w1f @ k0)[:, None]).astype(xt.dtype)
+        dw1 = dw1 - sxx_w1 * k1[None, :] + sx[:, None] * k0[None, :]
+        db1 = db1 - k1 * (sx @ w1f) + m * k0
     # dgamma = sum(da*n), dbeta = sum(da)
-    return dx, dw1, db1[:, 0], sum_dan, sum_da, dw2, db2[:, 0]
+    return dx, dw1, db1, sum_dan, sum_da, dw2, db2[:, 0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
