@@ -104,7 +104,16 @@ def bench_config(config_path: str, batch: int, steps: int, unroll: int,
     # (tensorboard-viewable; parse the .trace.json.gz top ops for the
     # per-op step breakdown).
     if os.environ.get('BENCH_PROFILE'):
-        with jax.profiler.trace(os.environ['BENCH_PROFILE']):
+        prof_dir = os.environ['BENCH_PROFILE']
+        # Write the optimized HLO of the exact profiled executable next to
+        # the trace: tools/attribute_trace.py joins trace op names with HLO
+        # op_name metadata, and instruction numbering differs across
+        # compiles — the pair must come from the same process.
+        txt = step_fn.lower(state, pool, rng).compile().as_text()
+        os.makedirs(prof_dir, exist_ok=True)
+        with open(os.path.join(prof_dir, 'hlo.txt'), 'w') as f:
+            f.write(txt)
+        with jax.profiler.trace(prof_dir):
             state = step_fn(state, pool, rng)
             jax.block_until_ready(state.params)
 

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from bihome_tpu.models.resnet import conv_init
+from bihome_tpu.ops.deconv import ConvTranspose2x2
 
 
 def _bn(train: bool, dtype, name: str):
@@ -133,9 +134,7 @@ class ResNet50DeconvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         features = x.shape[-1]
-        upper = nn.ConvTranspose(features, (2, 2), strides=(2, 2),
-                                 padding='VALID', use_bias=True,
-                                 transpose_kernel=True, dtype=self.dtype,
+        upper = ConvTranspose2x2(features, use_bias=True, dtype=self.dtype,
                                  name='upper_deconv')(x)
         upper = nn.Conv(features, (3, 3), padding=1, use_bias=False,
                         kernel_init=conv_init, dtype=self.dtype,
@@ -146,10 +145,8 @@ class ResNet50DeconvBlock(nn.Module):
                         kernel_init=conv_init, dtype=self.dtype,
                         name='upper_conv2')(upper)
         upper = _bn(train, self.dtype, 'upper_bn2')(upper)
-        lower = nn.ConvTranspose(features // 2, (2, 2), strides=(2, 2),
-                                 padding='VALID', use_bias=False,
-                                 transpose_kernel=True, dtype=self.dtype,
-                                 name='lower_deconv')(x)
+        lower = ConvTranspose2x2(features // 2, use_bias=False,
+                                 dtype=self.dtype, name='lower_deconv')(x)
         lower = _bn(train, self.dtype, 'lower_bn')(lower)
         return nn.relu(upper + lower)
 
@@ -162,17 +159,13 @@ class ResNet34DeconvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         features = x.shape[-1]
-        upper = nn.ConvTranspose(features // 2, (2, 2), strides=(2, 2),
-                                 padding='VALID', use_bias=True,
-                                 transpose_kernel=True, dtype=self.dtype,
-                                 name='upper_deconv')(x)
+        upper = ConvTranspose2x2(features // 2, use_bias=True,
+                                 dtype=self.dtype, name='upper_deconv')(x)
         upper = nn.Conv(features // 2, (3, 3), padding=1, use_bias=False,
                         kernel_init=conv_init, dtype=self.dtype,
                         name='upper_conv1')(upper)
         upper = _bn(train, self.dtype, 'upper_bn1')(upper)
-        lower = nn.ConvTranspose(features // 2, (2, 2), strides=(2, 2),
-                                 padding='VALID', use_bias=False,
-                                 transpose_kernel=True, dtype=self.dtype,
-                                 name='lower_deconv')(x)
+        lower = ConvTranspose2x2(features // 2, use_bias=False,
+                                 dtype=self.dtype, name='lower_deconv')(x)
         lower = _bn(train, self.dtype, 'lower_bn')(lower)
         return nn.relu(upper + lower)

@@ -283,3 +283,28 @@ def test_gauge_singularity_regression():
     img = jnp.ones((1, 240, 320, 1))
     out = geometry.warp_image(img, h, target_hw=(64, 64))
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_tent_c1_custom_vjp_matches_autodiff():
+    # The C==1 materialization-free warp backward (geometry._tent_c1) must
+    # match autodiff through the plain tent formulation: d_img, du, dv.
+    rs = np.random.RandomState(6)
+    imgs = jnp.array(rs.uniform(0, 1, (3, 14, 18, 1)), jnp.float32)
+    u = jnp.array(rs.uniform(0.3, 16.2, (3, 40)), jnp.float32)
+    v = jnp.array(rs.uniform(0.3, 12.2, (3, 40)), jnp.float32)
+
+    out_c1 = geometry._tent_c1(imgs, u, v)
+    out_ref = jax.vmap(geometry.tent_sample)(imgs, u, v)
+    np.testing.assert_allclose(np.asarray(out_c1), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(fn):
+        return lambda im, uu, vv: jnp.sum(
+            fn(im, uu, vv) * jnp.sin(jnp.arange(3 * 40).reshape(3, 40, 1)))
+
+    g_c1 = jax.grad(loss(geometry._tent_c1), argnums=(0, 1, 2))(imgs, u, v)
+    g_ref = jax.grad(loss(lambda im, uu, vv: jax.vmap(geometry.tent_sample)(
+        im, uu, vv)), argnums=(0, 1, 2))(imgs, u, v)
+    for name, a, b in zip(['d_img', 'du', 'dv'], g_c1, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
