@@ -52,10 +52,19 @@ if [ ! -f "$AUX" ]; then
           --cl_fine_weight 0.15 --basin_weight 0.3 --cl_hard_beta 0.5 \
           --out "$AUX" ;;
     aux_clfb_l2.npz)  # fine-negative + basin at layer2 depth (stride-8,
-                      # 128-ch features; sets OUTPUT_LAYER=2 below)
+                      # 128-ch features; sets OUTPUT_LAYER=2 below).
+                      # MEASURED WORSE than layer1 (BENCH_NOTES r3).
       python tools/pretrain_aux.py --pretext gradcl --steps 2500 \
           --cl_fine_weight 0.15 --basin_weight 0.3 --layers 2 \
           --out "$AUX" ;;
+    aux_clfbh5k.npz)  # clfbh recipe on a 2x pretext schedule
+      python tools/pretrain_aux.py --pretext gradcl --steps 5000 \
+          --cl_fine_weight 0.15 --basin_weight 0.3 --cl_hard_beta 0.5 \
+          --out "$AUX" ;;
+    aux_clfbhr.npz)   # clfbh + rich (rank-24) distill target
+      python tools/pretrain_aux.py --pretext gradcl --steps 2500 \
+          --cl_fine_weight 0.15 --basin_weight 0.3 --cl_hard_beta 0.5 \
+          --rich_target --out "$AUX" ;;
     *)
       echo "unknown AUX=$AUX — pretrain it first (tools/pretrain_aux.py)" >&2
       exit 1 ;;
