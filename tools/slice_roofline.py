@@ -1,0 +1,221 @@
+#!/usr/bin/env python3
+"""Analytic per-slice roofline for the zeng-bihome flagship train step.
+
+    python tools/slice_roofline.py [attribute_trace_output.txt]
+
+For every conv/deconv/BN/warp slice of the flagship architecture
+(Rethinking ResNet34 DoubleLine + PF head + frozen aux extractor + biHomE
+loss warps, batch 64 -> stacked 2B=128; ref: src/backbones/Rethinking.py:27-149)
+this derives, from first principles (no JAX, pure arithmetic):
+
+  flops       fwd/bwd MAC-work, 2*N*Ho*Wo*Cout*K^2*Cin per conv pass
+  bytes       minimum HBM traffic (read inputs + write outputs, bf16;
+              params negligible) assuming perfect fusion
+  naive ms    flops / v5e bf16 peak (197 TF/s)
+  lane ms     lane-aware MXU ceiling: the 128x128 systolic array runs a
+              [M,Kc]x[Kc,N] matmul at eff ~= min(Kc,128)/128 * min(N,128)/128
+              -- low-channel convs cannot use idle lanes, so their real
+              ceiling is flops / (peak * eff)
+  bw ms       bytes / 819 GB/s HBM
+  ceiling     max(lane ms, bw ms) -- the structural floor for the slice
+
+Joined (optionally) against a saved `tools/attribute_trace.py` stdout so
+measured ms sits next to its ceiling: a slice within ~1.5x of ceiling is
+architecture-bound; a bigger ratio is headroom. This is the evidence table
+behind BENCH_NOTES "irreducibility" claims.
+"""
+
+import re
+import sys
+
+PEAK = 197e12     # v5e bf16 MXU peak, FLOP/s
+BW = 819e9        # v5e HBM, B/s
+B = 128           # stacked doubleline batch (2 x 64)
+
+
+def conv(name, n, h, w, cin, cout, k, stride=1, bwd='full'):
+    """-> list of (slice, phase, flops, bytes) for one conv layer.
+
+    bwd: 'full' = dgrad+wgrad, 'dgrad' = input grads only (frozen params),
+    'none' = under stop_gradient.
+    """
+    ho, wo = h // stride, w // stride
+    f = 2.0 * n * ho * wo * cout * k * k * cin
+    # fwd matmul geometry: [N*Ho*Wo, K^2*Cin] x [K^2*Cin, Cout]
+    eff_f = min(1.0, k * k * cin / 128.0) * min(1.0, cout / 128.0)
+    # dgrad: [N*H*W, K^2*Cout] x [K^2*Cout, Cin]
+    eff_d = min(1.0, k * k * cout / 128.0) * min(1.0, cin / 128.0)
+    # wgrad: [K^2*Cin, N*Ho*Wo] x [N*Ho*Wo, Cout] (contraction huge)
+    eff_w = min(1.0, cout / 128.0)
+    by_in = 2.0 * n * h * w * cin          # bf16 read
+    by_out = 2.0 * n * ho * wo * cout      # bf16 write
+    rows = [(name, 'fwd', f, eff_f, by_in + by_out)]
+    if bwd == 'full':
+        rows.append((name, 'bwd', 2 * f, (eff_d + eff_w) / 2,
+                     2 * (by_in + by_out) + by_in))
+    elif bwd == 'dgrad':
+        rows.append((name, 'bwd', f, eff_d, by_in + by_out))
+    return rows
+
+
+def bn(name, n, h, w, c, bwd=True):
+    """BN train-mode: fwd reads x + writes y (stats fuse); bwd reads g,x_hat
+    and writes dx plus two [C] reduces -> ~3 full-res passes."""
+    by = 2.0 * n * h * w * c
+    rows = [(name, 'fwd', 0.0, 1.0, 2 * by)]
+    if bwd:
+        rows.append((name, 'bwd', 0.0, 1.0, 3 * by))
+    return rows
+
+
+def resnet34_block(prefix, n, h, w, cin, cout, stride, identity, bwd='full'):
+    rows = []
+    rows += conv(prefix, n, h, w, cin, cout, 3, stride, bwd)
+    rows += conv(prefix, n, h // stride, w // stride, cout, cout, 3, 1, bwd)
+    rows += bn(prefix, n, h // stride, w // stride, cout, bwd != 'none')
+    rows += bn(prefix, n, h // stride, w // stride, cout, bwd != 'none')
+    if not identity:
+        rows += conv(prefix, n, h, w, cin, cout, 1, stride, bwd)
+        rows += bn(prefix, n, h // stride, w // stride, cout, bwd != 'none')
+    return rows
+
+
+def deconv_block(prefix, n, h, w, c, bwd='full'):
+    """ResNet50DeconvBlock: upper = deconv2x2(C) + conv3x3(C) + conv1x1(C/2),
+    lower = deconv2x2(C/2). Phase-matmul deconv == 1x1 conv to 4*Cout then
+    free depth-to-space (ops/deconv.py)."""
+    rows = []
+    # deconv C->C as [n*h*w, C] x [C, 4C] matmul
+    rows += conv(prefix, n, h, w, c, 4 * c, 1, 1, bwd)
+    rows += conv(prefix, n, 2 * h, 2 * w, c, c, 3, 1, bwd)
+    rows += bn(prefix, n, 2 * h, 2 * w, c, bwd != 'none')
+    rows += conv(prefix, n, 2 * h, 2 * w, c, c // 2, 1, 1, bwd)
+    rows += bn(prefix, n, 2 * h, 2 * w, c // 2, bwd != 'none')
+    rows += conv(prefix, n, h, w, c, 4 * (c // 2), 1, 1, bwd)  # lower deconv
+    rows += bn(prefix, n, 2 * h, 2 * w, c // 2, bwd != 'none')
+    return rows
+
+
+def tent_warp(name, b, p, w, c, bwd):
+    """MXU tent contraction (geometry.batched_sample): two matmul passes
+    [P,W]x[W,C]-class per axis; W = window width (128). The dominant cost
+    is NOT the dots but tent-WEIGHT construction: ~1K VPU ops per sampled
+    point (measured, BENCH_NOTES 'Pallas fused warp' retirement note).
+    v5e VPU ~= 4 TOP/s f32 -> modeled as a vpu floor alongside the MXU
+    term; bwd doubles the weight work (d/du, d/dv tents)."""
+    f = 2.0 * b * p * w * c * 2
+    eff = min(1.0, w / 128.0) * min(1.0, max(c, 8) / 128.0)
+    by = 2.0 * b * (p * c + w * w * c + p * c)
+    vpu = b * p * 1000.0 / 4e12 * 1e3            # ms, fwd weight build
+    rows = [(name, 'fwd', f, eff, by, vpu)]
+    if bwd:
+        rows.append((name, 'bwd', 3 * f, eff, 3 * by, 1.5 * vpu))
+    return rows
+
+
+def flagship():
+    rows = []
+    n = B
+    # layer1: stem 7x7/2 on 6-ch stacked input, 128x128
+    rows += conv('layer1', n, 128, 128, 6, 64, 7, 2)
+    rows += bn('layer1', n, 64, 64, 64)
+    # layer2: 3 blocks @ 32x32, 64ch (first is conv block 64->64 stride 1)
+    rows += resnet34_block('layer2_0', n, 32, 32, 64, 64, 1, identity=False)
+    for i in (1, 2):
+        rows += resnet34_block(f'layer2_{i}', n, 32, 32, 64, 64, 1, True)
+    # layer3: 4 blocks @ 16x16, 128ch
+    rows += resnet34_block('layer3_0', n, 32, 32, 64, 128, 2, False)
+    for i in range(1, 4):
+        rows += resnet34_block(f'layer3_{i}', n, 16, 16, 128, 128, 1, True)
+    # layer4: 6 blocks @ 8x8, 256ch
+    rows += resnet34_block('layer4_0', n, 16, 16, 128, 256, 2, False)
+    for i in range(1, 6):
+        rows += resnet34_block(f'layer4_{i}', n, 8, 8, 256, 256, 1, True)
+    rows += deconv_block('layer4_deconv', n, 8, 8, 256)
+    for i in range(3):
+        rows += resnet34_block(f'layer5_{i}', n, 16, 16, 128, 128, 1, True)
+    rows += deconv_block('layer5_deconv', n, 16, 16, 128)
+    for i in range(2):
+        rows += resnet34_block(f'layer6_{i}', n, 32, 32, 64, 64, 1, True)
+    rows += deconv_block('layer6_deconv', n, 32, 32, 64)
+    rows += resnet34_block('layer7_0', n, 64, 64, 32, 32, 1, True)
+    rows += deconv_block('layer7_deconv', n, 64, 64, 32)
+    # layer8: PF head 16 -> 128 -> 2 @ 128x128, FUSED Pallas kernel
+    # (ops/fused_head.py): the [2B,128,128,128] mid never leaves VMEM, so
+    # HBM traffic is only x(16ch) in / y(2ch) out (+ bwd: g in, dx out).
+    # Lane eff is intrinsic to the shape: K=Cin=16 and M=Cout=2 leave the
+    # MXU ~90% idle (measured 3.6 ms fwd+bwd microbench, BENCH_NOTES r3).
+    f8 = 2.0 * n * 128 * 128 * (16 * 128 + 128 * 2)
+    eff8 = (16 / 128.0 + 2 / 128.0) / 2
+    by8 = 2.0 * n * 128 * 128 * (16 + 2)
+    rows += [('layer8', 'fwd', f8, eff8, by8),
+             ('layer8', 'bwd', 2 * f8, eff8, 2 * by8)]
+    # aux extractor: resnet34 stem+layer1 on 128x128x3, two stacked passes
+    # of [2B]: one stop-gradient (fwd only), one dgrad-only (frozen params).
+    for tag, bwd in (('auxiliary_resnet', 'dgrad'),
+                     ('auxiliary_resnet', 'none')):
+        rows += conv(tag, n, 128, 128, 3, 64, 7, 2, bwd)
+        rows += bn(tag, n, 64, 64, 64, bwd != 'none')
+        for i in range(3):
+            rows += resnet34_block(f'{tag}', n, 32, 32, 64, 64, 1, True, bwd)
+    # biHomE loss warps: warped patches at 128x128 C=1 grayscale-projected
+    # features? No -- warps run on 64-ch aux features at 32x32 + the C==1
+    # patch/mask warps at 128x128 (geometry.ones_warp_mask dropped the mask
+    # channel). Dominant: 2 image warps [B=64 doubled], P=128*128, W=128, C=1.
+    rows += tent_warp('loss-warp', 128, 128 * 128, 128, 1, bwd=True)
+    # datagen warp: window-first, B=64 source crops, C=1, no bwd
+    rows += tent_warp('datagen', 64, 128 * 128, 128, 1, bwd=False)
+    return rows
+
+
+def parse_measured(path):
+    """Parse attribute_trace.py stdout -> {bucket: ms}."""
+    meas = {}
+    for line in open(path):
+        m = re.match(r'\s*([\d.]+) ms\s+[\d.]+\s+(\S+)', line)
+        if m:
+            meas[m.group(2)] = float(m.group(1))
+    return meas
+
+
+def main():
+    meas = parse_measured(sys.argv[1]) if len(sys.argv) > 1 else {}
+    agg = {}
+    for row in flagship():
+        name, phase, f, eff, by = row[:5]
+        vpu = row[5] if len(row) > 5 else 0.0
+        # bucket like attribute_trace: fwd:layerN / bwd:layerN
+        base = re.sub(r'_\d+$', '', name)
+        key = f'{phase}:{base}'
+        a = agg.setdefault(key, [0.0, 0.0, 0.0, 0.0])
+        a[0] += f
+        a[1] += (f / (PEAK * eff)) if f else 0.0
+        a[2] += by
+        a[3] += vpu
+    print(f'{"slice":22s} {"GFLOP":>7s} {"naive":>6s} {"lane":>6s} '
+          f'{"bw":>6s} {"ceil":>6s} {"meas":>6s} {"x":>5s}')
+    tot = [0.0] * 4
+    rows = sorted(agg.items(),
+                  key=lambda kv: -(max(kv[1][1], kv[1][2] / BW) + kv[1][3]))
+    for key, (f, lane_s, by, vpu) in rows:
+        naive = f / PEAK * 1e3
+        lane = lane_s * 1e3
+        bw = by / BW * 1e3
+        ceil = max(lane, bw) + vpu
+        m = meas.get(key)
+        ratio = f'{m / ceil:5.1f}' if m and ceil else '     '
+        print(f'{key:22s} {f / 1e9:7.1f} {naive:6.2f} {lane:6.2f} '
+              f'{bw:6.2f} {ceil:6.2f} '
+              f'{m if m is not None else float("nan"):6.2f} {ratio}')
+        tot[0] += f
+        tot[1] += naive
+        tot[2] += ceil
+        tot[3] += m or 0.0
+    print(f'{"TOTAL":22s} {tot[0] / 1e9:7.1f} {tot[1]:6.2f} '
+          f'{"":6s} {"":6s} {tot[2]:6.2f} {tot[3]:6.2f}')
+    print(f'\nceiling pairs/s/chip (batch 64): {64e3 / tot[2]:.0f} '
+          f'(naive-peak: {64e3 / tot[1]:.0f})')
+
+
+if __name__ == '__main__':
+    main()
