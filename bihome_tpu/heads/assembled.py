@@ -689,15 +689,38 @@ class AssembledModel(nn.Module):
         if cfg.name == 'PerceptualHead':
             if cfg.delta_hat_keys:
                 return data[cfg.delta_hat_keys[0]], None
-            pf = data[cfg.pf_keys[0]]
-            delta_hats, scores = self._dsac_deltas(pf)
-            b = delta_hats.shape[0]
-            best = jnp.argmax(scores, axis=-1)                # [B]
-            delta_hat = jnp.take_along_axis(
-                delta_hats, best[:, None, None, None], axis=1)[:, 0]
-            if cfg.dsac_predict_refine:
-                delta_hat = dsac_lib.refine_delta_on_pf(
-                    pf, delta_hat, cfg.scoring_distance_threshold)
+
+            def fit_delta(pf):
+                delta_hats, scores = self._dsac_deltas(pf)
+                best = jnp.argmax(scores, axis=-1)            # [B]
+                delta = jnp.take_along_axis(
+                    delta_hats, best[:, None, None, None], axis=1)[:, 0]
+                if cfg.dsac_predict_refine:
+                    delta = dsac_lib.refine_delta_on_pf(
+                        pf, delta, cfg.scoring_distance_threshold,
+                        cfg.dsac_predict_refine_iters)
+                return delta
+
+            delta_hat = fit_delta(data[cfg.pf_keys[0]])
+            if cfg.dsac_predict_bidirectional and len(cfg.pf_keys) > 1:
+                # DoubleLine predicts both fields; the 2->1 field carries an
+                # independent estimate of the SAME homography (H12 = H21^-1).
+                # Fit it, invert through the corner parametrization, and
+                # average the deltas — cancels independent fit noise
+                # (predict-only extension knob; training untouched).
+                pf21 = data[cfg.pf_keys[1]]
+                h, w = pf21.shape[1:3]
+                fp = jnp.broadcast_to(
+                    jnp.array([[0, 0], [w, 0], [w, h], [0, h]],
+                              jnp.float32)[None],
+                    (pf21.shape[0], 4, 2))
+                delta21 = fit_delta(pf21)
+                h21 = geometry.four_point_to_homography(
+                    fp, delta21.astype(jnp.float32))
+                delta12p = geometry.transform_points(
+                    geometry.inv3x3(h21), fp) - fp
+                delta_hat = 0.5 * (delta_hat
+                                   + delta12p.astype(delta_hat.dtype))
             return delta_hat, None
 
         raise ValueError(cfg.name)

@@ -68,6 +68,14 @@ class HeadConfig:
     # only POINTS_PER_HYPOTHESIS of the 16k PF points, so its delta carries
     # avoidable sampling noise; training is untouched.
     dsac_predict_refine: bool = False
+    # IRLS rounds for the refit (each round re-weights by the previous
+    # fit's residuals); 1 == the single weighted-DLT step.
+    dsac_predict_refine_iters: int = 1
+    # Predict-only extension knob: fuse the DoubleLine 2->1 field's fit
+    # (inverted through the corner parametrization, H12 = H21^-1) with the
+    # 1->2 fit by averaging deltas — two estimates of the same homography
+    # with partially independent fit noise. No-op for one-line models.
+    dsac_predict_bidirectional: bool = False
 
     @staticmethod
     def from_yaml(head: Dict[str, Any],
@@ -150,4 +158,10 @@ class HeadConfig:
             kw['dsac_point_sampling'] = head['DSAC_POINT_SAMPLING']
         if 'DSAC_PREDICT_REFINE' in head:
             kw['dsac_predict_refine'] = bool(head['DSAC_PREDICT_REFINE'])
+        if 'DSAC_PREDICT_REFINE_ITERS' in head:
+            kw['dsac_predict_refine_iters'] = int(
+                head['DSAC_PREDICT_REFINE_ITERS'])
+        if 'DSAC_PREDICT_BIDIRECTIONAL' in head:
+            kw['dsac_predict_bidirectional'] = bool(
+                head['DSAC_PREDICT_BIDIRECTIONAL'])
         return HeadConfig(**kw)

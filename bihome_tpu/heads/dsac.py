@@ -137,16 +137,18 @@ def score_hypotheses(points1: Array, points2: Array, homographies: Array,
 
 
 def refine_delta_on_pf(pf: Array, delta_hat: Array,
-                       threshold: float = 3.0) -> Array:
+                       threshold: float = 3.0, iters: int = 1) -> Array:
     """Robust all-points refit of a predicted corner delta
     (MODEL.HEAD.DSAC_PREDICT_REFINE — predict-only extension knob).
 
     The best DSAC hypothesis is fit to POINTS_PER_HYPOTHESIS sampled PF
     points, so its delta carries sampling noise; this re-fits one
     homography to ALL H*W correspondences with weights
-    relu(1 - err/threshold) + eps under the hypothesis — one IRLS step of
+    relu(1 - err/threshold) + eps under the hypothesis — IRLS steps of
     the weighted-DLT refinement the reference ships but never calls
-    (ref: src/heads/ransac_utils.py:130-145). pf: [B,h,w,2] NHWC;
+    (ref: src/heads/ransac_utils.py:130-145). `iters` IRLS rounds
+    (MODEL.HEAD.DSAC_PREDICT_REFINE_ITERS, default 1): each round
+    re-weights by the previous fit's residuals. pf: [B,h,w,2] NHWC;
     delta_hat: [B,4,2] -> refined [B,4,2].
     """
     b, h, w, _ = pf.shape
@@ -158,15 +160,16 @@ def refine_delta_on_pf(pf: Array, delta_hat: Array,
     fp = jnp.broadcast_to(
         jnp.array([[0, 0], [w, 0], [w, h], [0, h]], jnp.float32)[None],
         (b, 4, 2))
-    h_best = geometry.four_point_to_homography(
+    h_ref = geometry.four_point_to_homography(
         fp, delta_hat.astype(jnp.float32))
-    err = jnp.linalg.norm(
-        geometry.transform_points(h_best, coords) - mapping, axis=-1)
-    # Zero weight past the inlier threshold; the small floor keeps the
-    # normal equations well-posed when a bad hypothesis rejects every
-    # point (falls back toward unweighted least squares).
-    wgt = jax.nn.relu(1.0 - err / threshold) + 1e-3
-    h_ref = geometry.find_homography_dlt(coords, mapping, wgt)
+    for _ in range(iters):
+        err = jnp.linalg.norm(
+            geometry.transform_points(h_ref, coords) - mapping, axis=-1)
+        # Zero weight past the inlier threshold; the small floor keeps the
+        # normal equations well-posed when a bad hypothesis rejects every
+        # point (falls back toward unweighted least squares).
+        wgt = jax.nn.relu(1.0 - err / threshold) + 1e-3
+        h_ref = geometry.find_homography_dlt(coords, mapping, wgt)
     refined = geometry.transform_points(h_ref, fp) - fp
     return refined.astype(delta_hat.dtype)
 

@@ -388,10 +388,79 @@ def test_refine_delta_on_pf_beats_sampled_hypothesis():
     assert mace(refined) < 0.7 * mace(delta_hyp)
     assert mace(refined) < 0.3
 
+    # Extra IRLS rounds re-weight by the refined fit's residuals: they
+    # must not regress, and typically tighten the outlier rejection.
+    refined3 = dsac_lib.refine_delta_on_pf(jnp.asarray(pf), delta_hyp, 3.0,
+                                           iters=3)
+    assert mace(refined3) <= mace(refined) * 1.05
+
+
+def test_dsac_predict_bidirectional_fuses_both_fields():
+    """DSAC_PREDICT_BIDIRECTIONAL spec: the DoubleLine 2->1 field is an
+    independent estimate of the same homography (H12 = H21^-1); fusing it
+    must (a) recover the exact delta when both fields are exact and
+    (b) beat the 1->2-only fit when only the 2->1 field is clean."""
+    from flax import linen as nn
+
+    class FieldBackbone(nn.Module):
+        @nn.compact
+        def __call__(self, data, train=False):
+            return {'pf_hat_12': data['pf12'], 'pf_hat_21': data['pf21']}
+
+    rng = np.random.RandomState(1)
+    b, h, w = 2, 32, 32
+    delta_gt = jnp.asarray(rng.uniform(-6, 6, (b, 4, 2)).astype(np.float32))
+    fp = jnp.broadcast_to(
+        jnp.array([[0, 0], [w, 0], [w, h], [0, h]], jnp.float32)[None],
+        (b, 4, 2))
+    h12 = geometry.four_point_to_homography(fp, delta_gt)
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing='ij')
+    coords = jnp.asarray(
+        np.broadcast_to(np.stack([xs.ravel(), ys.ravel()], -1)[None],
+                        (b, h * w, 2)).copy())
+    pf12 = (geometry.transform_points(h12, coords) - coords
+            ).reshape(b, h, w, 2)
+    pf21 = (geometry.transform_points(geometry.inv3x3(h12), coords) - coords
+            ).reshape(b, h, w, 2)
+
+    def build(bidir):
+        cfg = HeadConfig.from_yaml({
+            'NAME': 'PerceptualHead', 'PF_KEYS': ['pf_hat_12', 'pf_hat_21'],
+            'PATCH_KEYS': ['patch_1', 'patch_2'], 'TARGET_GEN': 'all_points',
+            'RANSAC_HYPOTHESIS_NO': 1, 'POINTS_PER_HYPOTHESIS': 64,
+            'DSAC_PREDICT_REFINE': True,
+            'DSAC_PREDICT_BIDIRECTIONAL': bidir})
+        return AssembledModel(backbone=FieldBackbone(), head=cfg)
+
+    def mace(d):
+        return float(jnp.mean(jnp.linalg.norm(d - delta_gt, axis=-1)))
+
+    def predict(model, batch):
+        variables = model.init(
+            {'params': jax.random.PRNGKey(0), 'dsac': jax.random.PRNGKey(1)},
+            batch, method='predict')
+        d, _ = model.apply(variables, batch, method='predict',
+                           rngs={'dsac': jax.random.PRNGKey(2)})
+        return d
+
+    clean = {'pf12': pf12, 'pf21': pf21}
+    assert mace(predict(build(True), clean)) < 0.05
+
+    noisy12 = {'pf12': pf12 + jnp.asarray(
+        rng.normal(0, 1.0, pf12.shape).astype(np.float32)), 'pf21': pf21}
+    err_uni = mace(predict(build(False), noisy12))
+    err_bi = mace(predict(build(True), noisy12))
+    assert err_bi < 0.7 * err_uni
+
 
 def test_dsac_predict_refine_config_knob():
     cfg = HeadConfig.from_yaml({'NAME': 'PerceptualHead',
-                                'DSAC_PREDICT_REFINE': True})
+                                'DSAC_PREDICT_REFINE': True,
+                                'DSAC_PREDICT_REFINE_ITERS': 3})
     assert cfg.dsac_predict_refine
+    assert cfg.dsac_predict_refine_iters == 3
     assert not HeadConfig.from_yaml({'NAME': 'PerceptualHead'}
                                     ).dsac_predict_refine
+    assert HeadConfig.from_yaml({'NAME': 'PerceptualHead'}
+                                ).dsac_predict_refine_iters == 1
