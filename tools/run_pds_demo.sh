@@ -43,6 +43,12 @@ if [ ! -f "$AUX" ]; then
     aux_pdsclfb.npz)  # + basin-sharpening term (sub-4px misalignment slope)
       python tools/pretrain_aux.py --pretext gradpdscl --steps 2500 \
           --cl_fine_weight 0.15 --basin_weight 0.3 --out "$AUX" ;;
+    aux_pdsclfbh.npz) # + hard-negative weighting — the full clfbh recipe
+                      # (the S-COCO ladder winner, BENCH_NOTES) on the
+                      # PDS-invariance pretext
+      python tools/pretrain_aux.py --pretext gradpdscl --steps 2500 \
+          --cl_fine_weight 0.15 --basin_weight 0.3 --cl_hard_beta 0.5 \
+          --out "$AUX" ;;
     *)
       echo "unknown AUX=$AUX — pretrain it first (tools/pretrain_aux.py)" >&2
       exit 1 ;;
