@@ -169,12 +169,15 @@ def flagship():
 
 
 def parse_measured(path):
-    """Parse attribute_trace.py stdout -> {bucket: ms}."""
+    """Parse attribute_trace.py stdout -> {bucket: ms}, aggregating its
+    per-block buckets (fwd:layer2_0, fwd:layer2_1, ...) to this tool's
+    per-stage keys (fwd:layer2); *_deconv stays distinct."""
     meas = {}
     for line in open(path):
         m = re.match(r'\s*([\d.]+) ms\s+[\d.]+\s+(\S+)', line)
         if m:
-            meas[m.group(2)] = float(m.group(1))
+            key = re.sub(r'_\d+$', '', m.group(2))
+            meas[key] = meas.get(key, 0.0) + float(m.group(1))
     return meas
 
 
@@ -213,6 +216,15 @@ def main():
         tot[3] += m or 0.0
     print(f'{"TOTAL":22s} {tot[0] / 1e9:7.1f} {tot[1]:6.2f} '
           f'{"":6s} {"":6s} {tot[2]:6.2f} {tot[3]:6.2f}')
+    unmodeled = 0.0
+    for key, ms in sorted(meas.items(), key=lambda kv: -kv[1]):
+        if key not in agg:
+            print(f'{key:22s} {"":7s} {"":6s} {"":6s} {"":6s} {"":6s} '
+                  f'{ms:6.2f}  (unmodeled)')
+            unmodeled += ms
+    if meas:
+        print(f'measured total {tot[3] + unmodeled:.2f} ms '
+              f'({unmodeled:.2f} unmodeled: dsac/opt/copies/misc)')
     print(f'\nceiling pairs/s/chip (batch 64): {64e3 / tot[2]:.0f} '
           f'(naive-peak: {64e3 / tot[1]:.0f})')
 
