@@ -145,11 +145,31 @@ def flagship():
     # HBM traffic is only x(16ch) in / y(2ch) out (+ bwd: g in, dx out).
     # Lane eff is intrinsic to the shape: K=Cin=16 and M=Cout=2 leave the
     # MXU ~90% idle (measured 3.6 ms fwd+bwd microbench, BENCH_NOTES r3).
-    f8 = 2.0 * n * 128 * 128 * (16 * 128 + 128 * 2)
-    eff8 = (16 / 128.0 + 2 / 128.0) / 2
-    by8 = 2.0 * n * 128 * 128 * (16 + 2)
-    rows += [('layer8', 'fwd', f8, eff8, by8),
-             ('layer8', 'bwd', 2 * f8, eff8, 2 * by8)]
+    # The backward is modeled per matmul term because keeping mid in VMEM
+    # FORCES the kernel to recompute it (storing mid would round-trip
+    # 2B*128*128*128 bf16 = 537 MB through HBM = 1.3 ms of bw alone, worse),
+    # and the BN-stat/ReLU corrections are f32 VPU passes over that same
+    # 268M-element mid space — neither appears in a pure lane model.
+    msp = float(n * 128 * 128)            # spatial rows
+    f1 = 2.0 * msp * 16 * 128             # x->mid matmul FLOPs
+    f2 = 2.0 * msp * 128 * 2              # mid->y matmul FLOPs
+    e_c1 = (16 / 128.0)                   # K=16 contraction, N=128 full
+    e_c2 = (2 / 128.0)                    # N=2 output lanes
+    by8 = 2.0 * msp * (16 + 2)
+    # f32 VPU ops per mid element, counted from the kernel's arithmetic:
+    # fwd ~6 (normalize 2, scale-shift 2, ReLU+stat-reduce 2); bwd ~14
+    # (those again on the remat + mask apply, gamma-scale, dmid_hat*x_hat
+    # product, two stat-reduce passes, 3-term BN-backward combine).
+    vpu8 = msp * 128 * 14 / 4e12 * 1e3
+    rows += [('layer8', 'fwd', f1, e_c1, by8, vpu8 * 6 / 14),
+             ('layer8', 'fwd', f2, e_c2, 0.0),
+             # bwd terms: remat mid (e_c1), dmid=g W2^T (K=2), dx (N=16),
+             # dW2 (N=2), dW1 (N=128, huge contraction) + VPU passes.
+             ('layer8', 'bwd', f1, e_c1, 2 * by8, vpu8),
+             ('layer8', 'bwd', f2, e_c2, 0.0),
+             ('layer8', 'bwd', f1, 16 / 128.0, 0.0),
+             ('layer8', 'bwd', f2, e_c2, 0.0),
+             ('layer8', 'bwd', f1, 1.0, 0.0)]
     # aux extractor: resnet34 stem+layer1 on 128x128x3, two stacked passes
     # of [2B]: one stop-gradient (fwd only), one dgrad-only (frozen params).
     for tag, bwd in (('auxiliary_resnet', 'dgrad'),
