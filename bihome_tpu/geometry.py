@@ -308,7 +308,7 @@ def batched_sample(images: Array, u: Array, v: Array) -> Array:
             from bihome_tpu.ops import warp_pallas
             return warp_pallas.tent_sample_batched(images, u, v)
         b, _, w, c = images.shape
-        fits = (u.shape[-1] * w * c * 4) * b <= _TENT_GROUP_BYTES
+        fits = (u.shape[-1] * w * c * 4) * b <= _tent_group_bytes()
         if (c == 1 and fits
                 and os.environ.get('BIHOME_WARP_BWD', 'c1') == 'c1'):
             return _tent_c1(images, u, v)
@@ -391,17 +391,46 @@ _tent_c1.defvjp(_tent_c1_fwd, _tent_c1_bwd)
 # (measured: batch 256 datagen warp -> 4.8GB transient, 13x throughput
 # collapse). Groups stay large so each lax.map iteration still saturates
 # the MXU (unlike fine-grained point-chunking, which serialized).
-# 3GB keeps the flagship biHomE loss warp (batch 64 -> [128n,16384,128,2]
-# ~2.1GB) in ONE group — grouping it serializes fwd+bwd through a lax.map
-# and costs ~2x end-to-end (measured 1028 -> 577 pairs/s).
-_TENT_GROUP_BYTES = 3 * 1024 * 1024 * 1024
+# The cap must keep the flagship biHomE loss warp (batch 64 ->
+# [128n,16384,128,2] ~2.1GB) in ONE group on v5e — grouping it serializes
+# fwd+bwd through a lax.map and costs ~2x end-to-end (measured 1028 ->
+# 577 pairs/s). 3GiB/16GiB HBM was the tuned v5e point; scale that ratio
+# by the actual device HBM (memory_stats) so smaller/larger parts don't
+# silently fall off the cliff. BIHOME_TENT_GROUP_BYTES overrides.
+_TENT_GROUP_BYTES_V5E = 3 * 1024 * 1024 * 1024
+_tent_group_bytes_cache: Optional[int] = None
+
+
+def _tent_group_bytes() -> int:
+    global _tent_group_bytes_cache
+    if _tent_group_bytes_cache is None:
+        import os
+        env = os.environ.get('BIHOME_TENT_GROUP_BYTES')
+        if env:
+            _tent_group_bytes_cache = int(env)
+        else:
+            limit = None
+            try:
+                stats = jax.devices()[0].memory_stats()
+                if stats:
+                    limit = stats.get('bytes_limit')
+            except Exception:
+                limit = None
+            if limit:
+                # 3/16 of HBM, floored at 256MB so tiny CPU "devices"
+                # still group coarsely rather than per-sample.
+                _tent_group_bytes_cache = max(
+                    256 * 1024 * 1024, int(limit) * 3 // 16)
+            else:
+                _tent_group_bytes_cache = _TENT_GROUP_BYTES_V5E
+    return _tent_group_bytes_cache
 
 
 def _tent_batch_grouped(images: Array, u: Array, v: Array) -> Array:
     b, h, w, c = images.shape
     p = u.shape[-1]
     per_image = p * w * c * 4
-    group = max(1, min(b, _TENT_GROUP_BYTES // max(per_image, 1)))
+    group = max(1, min(b, _tent_group_bytes() // max(per_image, 1)))
     if group >= b:
         return jax.vmap(tent_sample)(images, u, v)
     pad = (-b) % group

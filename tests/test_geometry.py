@@ -308,3 +308,40 @@ def test_tent_c1_custom_vjp_matches_autodiff():
     for name, a, b in zip(['d_img', 'du', 'dv'], g_c1, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_tent_batch_grouped_batch256_regression(monkeypatch):
+    # Batch-256 regression for the HBM grouping path (the shape that
+    # originally fell off the cliff): force a tiny group cap so
+    # _tent_batch_grouped actually groups (with padding) and must match
+    # the ungrouped vmapped tent sampler exactly.
+    rs = np.random.RandomState(7)
+    b, h, w, c, p = 256, 10, 12, 2, 33
+    imgs = jnp.array(rs.uniform(0, 255, (b, h, w, c)), jnp.float32)
+    u = jnp.array(rs.uniform(-2, w + 2, (b, p)), jnp.float32)
+    v = jnp.array(rs.uniform(-2, h + 2, (b, p)), jnp.float32)
+    ref = jax.vmap(geometry.tent_sample)(imgs, u, v)
+    # group cap = 40 images' worth of intermediate -> 7 groups, pad 24
+    per_image = p * w * c * 4
+    monkeypatch.setattr(geometry, '_tent_group_bytes_cache', per_image * 40)
+    out = geometry._tent_batch_grouped(imgs, u, v)
+    assert out.shape == (b, p, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_tent_group_bytes_device_derived(monkeypatch):
+    # Env override wins; otherwise the cap derives from device HBM
+    # (3/16 ratio) with the v5e constant as fallback.
+    monkeypatch.setattr(geometry, '_tent_group_bytes_cache', None)
+    monkeypatch.setenv('BIHOME_TENT_GROUP_BYTES', '12345678')
+    assert geometry._tent_group_bytes() == 12345678
+    monkeypatch.setattr(geometry, '_tent_group_bytes_cache', None)
+    monkeypatch.delenv('BIHOME_TENT_GROUP_BYTES')
+    got = geometry._tent_group_bytes()
+    stats = jax.devices()[0].memory_stats() or {}
+    if stats.get('bytes_limit'):
+        assert got == max(256 * 1024 * 1024,
+                          int(stats['bytes_limit']) * 3 // 16)
+    else:
+        assert got == geometry._TENT_GROUP_BYTES_V5E

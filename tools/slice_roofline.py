@@ -167,7 +167,10 @@ def flagship():
              # dW2 (N=2), dW1 (N=128, huge contraction) + VPU passes.
              ('layer8', 'bwd', f1, e_c1, 2 * by8, vpu8),
              ('layer8', 'bwd', f2, e_c2, 0.0),
-             ('layer8', 'bwd', f1, 16 / 128.0, 0.0),
+             # dx: N=16 output lanes -> same 16/128 lane efficiency as the
+             # K=16 forward contraction (e_c1); reuse it to keep the
+             # per-term efficiencies unambiguous.
+             ('layer8', 'bwd', f1, e_c1, 0.0),
              ('layer8', 'bwd', f2, e_c2, 0.0),
              ('layer8', 'bwd', f1, 1.0, 0.0)]
     # aux extractor: resnet34 stem+layer1 on 128x128x3, two stacked passes
