@@ -17,15 +17,18 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from bihome_tpu.ops import color
 
 Array = jax.Array
 
 # The 6 channel permutations of ImageRandomLightingNoise
-# (ref: src/data/transforms.py:250-262).
-_PERMS = jnp.array([[0, 1, 2], [0, 2, 1], [1, 0, 2],
-                    [1, 2, 0], [2, 0, 1], [2, 1, 0]], dtype=jnp.int32)
+# (ref: src/data/transforms.py:250-262). numpy (not jnp) so importing this
+# module never initializes the XLA backend — train.py --multihost must call
+# jax.distributed.initialize() after imports, before any backend touch.
+_PERMS = np.array([[0, 1, 2], [0, 2, 1], [1, 0, 2],
+                   [1, 2, 0], [2, 0, 1], [2, 1, 0]], dtype=np.int32)
 
 
 def photometric_distort_simple(image: Array, key: Array,
@@ -89,7 +92,7 @@ def photometric_distort_simple(image: Array, key: Array,
     ln_key1, ln_key2 = jax.random.split(keys[10])
     ln_coin = jax.random.bernoulli(ln_key1)
     perm_idx = jax.random.randint(ln_key2, (), 0, 6)
-    perm = _PERMS[perm_idx]
+    perm = jnp.asarray(_PERMS)[perm_idx]
     permuted = jnp.take(image, perm, axis=-1)
     return jnp.where(ln_coin, permuted, image)
 
@@ -138,5 +141,5 @@ def photometric_distort_full(image: Array, key: Array) -> Array:
     ln_key1, ln_key2 = jax.random.split(keys[10])
     ln_coin = jax.random.bernoulli(ln_key1)
     perm_idx = jax.random.randint(ln_key2, (), 0, 6)
-    permuted = jnp.take(image, _PERMS[perm_idx], axis=-1)
+    permuted = jnp.take(image, jnp.asarray(_PERMS)[perm_idx], axis=-1)
     return jnp.where(ln_coin, permuted, image)

@@ -59,6 +59,22 @@ class MetricsWriter:
             self._tb.close()
 
 
+class NullWriter:
+    """No-op writer for non-main processes under --multihost: metrics are
+    replicated across ranks, so only process 0 writes (the reference gates
+    its SummaryWriter the same way via is_main_process,
+    ref: src/utils/dist_util.py:30-36)."""
+
+    def scalars(self, step, values) -> None:
+        pass
+
+    def flush(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 class ThroughputMeter:
     """pairs/sec/chip, warmup-dropped (the BASELINE.json headline metric)."""
 

@@ -199,7 +199,9 @@ def main(args):
     eval_rng = jax.device_put(
         jax.random.PRNGKey(sampler_cfg.get('TEST_SEED', 0) or 0), rep)
 
-    writer = metrics_lib.MetricsWriter(log_dir)
+    # Rank-0-only metrics (replicated values; ref gates TB the same way).
+    writer = (metrics_lib.MetricsWriter(log_dir)
+              if mesh_lib.is_main_process() else metrics_lib.NullWriter())
     verbose = bool(log_cfg.get('VERBOSE', False))
     last_log_time = [None]  # windowed rate: excludes compile time
 
@@ -428,7 +430,23 @@ if __name__ == '__main__':
                              'host, auto-discovered coordinator on TPU; '
                              'the mesh then spans all hosts and gradient '
                              'all-reduce rides ICI/DCN)')
+    parser.add_argument('--coordinator', type=str, default='',
+                        help='with --multihost: explicit coordinator '
+                             'address host:port (needed off-TPU, e.g. the '
+                             '2-process CPU exercise in '
+                             'tests/test_multiprocess.py); on a TPU pod '
+                             'leave unset for auto-discovery')
+    parser.add_argument('--num_processes', type=int, default=0,
+                        help='with --coordinator: total process count')
+    parser.add_argument('--process_id', type=int, default=-1,
+                        help='with --coordinator: this process rank')
     _args = parser.parse_args()
     if _args.multihost:
-        jax.distributed.initialize()
+        if _args.coordinator:
+            jax.distributed.initialize(
+                coordinator_address=_args.coordinator,
+                num_processes=_args.num_processes,
+                process_id=_args.process_id)
+        else:
+            jax.distributed.initialize()
     main(_args)
