@@ -464,3 +464,139 @@ def test_dsac_predict_refine_config_knob():
                                     ).dsac_predict_refine
     assert HeadConfig.from_yaml({'NAME': 'PerceptualHead'}
                                 ).dsac_predict_refine_iters == 1
+
+
+# --------------------------------------------------------------------- #
+# Multi-hypothesis DSAC (VERDICT r3 item 4): hypothesis_no > 1 with every
+# scoring method, value-checked vs numpy and executed THROUGH the loss.
+# --------------------------------------------------------------------- #
+
+
+def _np_transform_points(h, pts):
+    ones = np.ones((*pts.shape[:-1], 1))
+    p = np.concatenate([pts, ones], axis=-1) @ h.transpose(0, 2, 1)
+    return p[..., :2] / p[..., 2:3]
+
+
+@pytest.mark.parametrize('method', ['repr_error', 'inliers_ratio',
+                                    'soft_inliers_ratio'])
+def test_dsac_score_hypotheses_matches_numpy_oracle(method):
+    """score_hypotheses value parity vs an independent numpy computation
+    of the reference scoring definitions (ref: ransac_utils.py:77-128,
+    incl. the softmax(-scores) sign quirk that DOWN-weights high
+    inliers_ratio hypotheses)."""
+    from bihome_tpu.heads import dsac as dsac_lib
+    rs = np.random.RandomState(3)
+    b, n, npts = 2, 4, 64
+    coords = rs.uniform(0, 16, (b, npts, 2)).astype(np.float32)
+    mapping = coords + rs.uniform(-2, 2, (b, npts, 2)).astype(np.float32)
+    hyps = np.tile(np.eye(3, dtype=np.float32), (b, n, 1, 1))
+    hyps += rs.uniform(-0.02, 0.02, hyps.shape).astype(np.float32)
+    hyps[..., 2, 2] = 1.0
+
+    thr, beta = 2.0, 1.5
+    scores, _ = dsac_lib.score_hypotheses(
+        jnp.asarray(coords), jnp.asarray(mapping), jnp.asarray(hyps),
+        method, thr, beta)
+    scores = np.asarray(scores)
+
+    raw = np.zeros((b, n), np.float32)
+    for i in range(b):
+        t = _np_transform_points(hyps[i], np.tile(coords[i], (n, 1, 1)))
+        d = t - mapping[i][None]
+        if method == 'repr_error':
+            raw[i] = np.abs(d).sum(-1).sum(-1)
+        elif method == 'inliers_ratio':
+            raw[i] = (np.linalg.norm(d, axis=-1) < thr).mean(-1)
+        else:
+            raw[i] = (1 / (1 + np.exp(-beta * (np.linalg.norm(d, axis=-1)
+                                               - thr)))).sum(-1)
+    e = np.exp(-raw - np.max(-raw, axis=-1, keepdims=True))
+    want = e / e.sum(-1, keepdims=True)
+    np.testing.assert_allclose(scores, want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(scores.sum(-1), 1.0, rtol=1e-5)
+
+
+class TestMultiHypothesisThroughLoss:
+    """hypothesis_no>1 executed through the FULL biHomE loss for every
+    scoring method (ref: PerceptualHead.py:154-205 + ransac_utils.py:
+    76-128) — previously only the graft surface was tested."""
+
+    def _model(self, method, n_hyp=3):
+        class PFFromData(backbones.RethinkingBackbone):
+            def __call__(self, data, train=False):
+                return {'pf_hat_12': data['pf_in_12'],
+                        'pf_hat_21': data['pf_in_21']}
+
+        head = HeadConfig(
+            name='PerceptualHead', patch_size=PS,
+            patch_keys=('patch_1', 'patch_2'), delta_hat_keys=(),
+            pf_keys=('pf_hat_12', 'pf_hat_21'),
+            hypothesis_no=n_hyp, points_per_hypothesis=16,
+            scoring_method=method, scoring_distance_threshold=3.0,
+            scoring_distance_beta=1.0,
+            auxiliary_resnet='resnet34', auxiliary_resnet_output_layer=1,
+            triplet_loss='double-line',
+            triplet_aggregation='channel-aware', triplet_margin='inf',
+            triplet_distance='l1', triplet_mu=0.01,
+            dsac_point_sampling='uniform')
+        return AssembledModel(backbone=PFFromData(), head=head)
+
+    def _batch(self):
+        batch = dict(make_batch(seed=6, target_gen='all_points'))
+        rs = np.random.RandomState(8)
+        # gt dense PF + noise for the two directions
+        batch['pf_in_12'] = batch['target'] + jnp.asarray(
+            rs.uniform(-0.5, 0.5, batch['target'].shape).astype(np.float32))
+        batch['pf_in_21'] = -batch['target'] + jnp.asarray(
+            rs.uniform(-0.5, 0.5, batch['target'].shape).astype(np.float32))
+        return batch
+
+    @pytest.mark.parametrize('method', ['repr_error', 'inliers_ratio',
+                                        'soft_inliers_ratio', 'score_cnn'])
+    def test_loss_finite_and_shapes(self, method):
+        model = self._model(method)
+        batch = self._batch()
+        rngs = {'params': jax.random.PRNGKey(0),
+                'dsac': jax.random.PRNGKey(1)}
+        variables = model.init(rngs, batch)
+        if method == 'score_cnn':
+            assert 'score_cnn' in variables['params']
+        out = model.apply(variables, batch,
+                          rngs={'dsac': jax.random.PRNGKey(2)})
+        assert np.isfinite(float(out['loss'])), method
+        # score-weighted delta mixes the n hypotheses -> [B,4,2]
+        assert out['delta_hat'].shape == (2, 4, 2)
+
+    def test_gradient_flows_into_pf_through_scoring(self):
+        # With n>1 the softmax(-score) weights carry gradient into the PF
+        # through BOTH the sampled points and the scoring (repr_error).
+        model = self._model('repr_error')
+        batch = self._batch()
+        rngs = {'params': jax.random.PRNGKey(0),
+                'dsac': jax.random.PRNGKey(1)}
+        variables = model.init(rngs, batch)
+
+        def loss_of_pf(pf12):
+            b = {**batch, 'pf_in_12': pf12}
+            return model.apply(variables, b,
+                               rngs={'dsac': jax.random.PRNGKey(2)})['loss']
+
+        g = jax.grad(loss_of_pf)(batch['pf_in_12'])
+        assert float(jnp.max(jnp.abs(g))) > 0.0
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_predict_argmax_hypothesis_recovers_clean_field(self):
+        # Clean gt field -> every hypothesis fits the same homography; the
+        # argmax-score prediction must recover the true delta closely.
+        model = self._model('repr_error', n_hyp=8)
+        batch = self._batch()
+        batch['pf_in_12'] = batch['target']
+        batch['pf_in_21'] = batch['target']        # unused by predict
+        rngs = {'params': jax.random.PRNGKey(0),
+                'dsac': jax.random.PRNGKey(1)}
+        variables = model.init(rngs, batch)
+        delta_hat, _ = model.apply(variables, batch, method='predict',
+                                   rngs={'dsac': jax.random.PRNGKey(3)})
+        err = np.abs(np.asarray(delta_hat) - np.asarray(batch['delta']))
+        assert err.max() < 0.5, err.max()

@@ -247,3 +247,176 @@ def test_zhang_triplet_loss_value_parity_full_chain(margin, aggregation):
     out = model.apply(variables, batch)
     got = float(out['loss'])
     np.testing.assert_allclose(got, want, rtol=3e-3, atol=1e-2)
+
+
+# --------------------------------------------------------------------- #
+# Round-4 variant coverage (VERDICT r3 item 4): projection head,
+# upsample-patch-{2,4}x, 'dual' — all value-pinned vs the torch oracle.
+# --------------------------------------------------------------------- #
+
+
+def test_bihome_projection_head_value_parity(aux_torch):
+    """WITH_PROJECTION_HEAD (ref: PerceptualHead.py:40-48,63-76): linear
+    projection after the frozen extractor + per-pixel channel L2
+    normalization inside the one-line loss (ref: :470-497)."""
+    extract, ported = aux_torch
+    p1, p2, d12, _, _, _ = _inputs(21, with_masks=False)
+
+    torch.manual_seed(7)
+    lin0 = torch.nn.Linear(64, 32)
+    lin1 = torch.nn.Linear(32, 8)
+
+    def nchw(x):
+        return torch.from_numpy(x.transpose(0, 3, 1, 2))
+
+    def extract_proj(x):
+        with torch.no_grad():
+            f = extract(x).permute(0, 2, 3, 1)       # NHWC
+            f = lin1(torch.relu(lin0(f)))
+            return f.permute(0, 3, 1, 2)
+
+    want, _ = loss_oracle.bihome_loss(
+        extract_proj, nchw(p1), nchw(p2), d12, None,
+        triplet_loss='one-line', triplet_margin=0.5,
+        triplet_aggregation='channel-aware', triplet_distance='l1',
+        normalize_features=True)
+
+    class FixedDelta(backbones.ResNet34Backbone):
+        def __call__(self, data, train=False):
+            return {'delta_hat_12': jnp.asarray(d12)}
+
+    head = HeadConfig(
+        name='PerceptualHead', patch_size=PS,
+        patch_keys=('patch_1', 'patch_2'),
+        delta_hat_keys=('delta_hat_12',), pf_keys=(),
+        auxiliary_resnet='resnet34', auxiliary_resnet_output_layer=1,
+        with_projection_head=((64, 32), (32, 8)),
+        triplet_loss='one-line', triplet_margin=0.5,
+        triplet_aggregation='channel-aware', triplet_distance='l1')
+    model = AssembledModel(backbone=FixedDelta(), head=head)
+    batch = {'patch_1': jnp.asarray(p1), 'patch_2': jnp.asarray(p2)}
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), batch))
+    variables = torch_port.graft(variables, ported, ('auxiliary_resnet',))
+    for i, lin in enumerate((lin0, lin1)):
+        variables = torch_port.graft(
+            variables,
+            {'params': {'kernel': lin.weight.detach().numpy().T,
+                        'bias': lin.bias.detach().numpy()}},
+            (f'projection_{i}',))
+    assert _no_abstract_leaves(variables), 'port did not cover all leaves'
+
+    got = float(model.apply(variables, batch)['loss'])
+    np.testing.assert_allclose(got, want, rtol=3e-3, atol=1e-2)
+
+
+@pytest.mark.parametrize('scale,triplet_loss,margin', [
+    (2, 'double-line', 'inf'),
+    (4, 'one-line', 0.5),
+])
+def test_bihome_upsample_patch_value_parity(aux_torch, scale, triplet_loss,
+                                            margin):
+    """SAMPLING_STRATEGY='upsample-patch-{2,4}x' (ref: PerceptualHead.py:
+    317-318,353-377): bilinear align_corners=True upsample before the
+    extractor; mask downsample factor follows the feature resolution.
+
+    NOTE the reference's 4x DOUBLE-line path is broken (if/if-else instead
+    of if/elif at :392-398 overwrites patch_2_f_prime with non-upsampled
+    features -> runtime shape error); 4x is therefore pinned through
+    one-line, 2x through double-line (the working combinations)."""
+    extract, ported = aux_torch
+    p1, p2, d12, d21, _, _ = _inputs(22, with_masks=False)
+    doubleline = 'double-line' in triplet_loss
+
+    def nchw(x):
+        return torch.from_numpy(x.transpose(0, 3, 1, 2))
+
+    want, _ = loss_oracle.bihome_loss(
+        extract, nchw(p1), nchw(p2), d12, d21 if doubleline else None,
+        triplet_loss=triplet_loss, triplet_margin=margin,
+        triplet_aggregation='channel-aware', triplet_distance='l1',
+        triplet_mu=0.01, upsample_scale=scale)
+
+    class FixedDelta(backbones.ResNet34Backbone):
+        def __call__(self, data, train=False):
+            out = {'delta_hat_12': jnp.asarray(d12)}
+            if doubleline:
+                out['delta_hat_21'] = jnp.asarray(d21)
+            return out
+
+    head = HeadConfig(
+        name='PerceptualHead', patch_size=PS,
+        patch_keys=('patch_1', 'patch_2'),
+        delta_hat_keys=(('delta_hat_12', 'delta_hat_21') if doubleline
+                        else ('delta_hat_12',)),
+        pf_keys=(), auxiliary_resnet='resnet34',
+        auxiliary_resnet_output_layer=1,
+        triplet_loss=triplet_loss, triplet_margin=margin,
+        triplet_aggregation='channel-aware', triplet_distance='l1',
+        triplet_mu=0.01, sampling_strategy=f'upsample-patch-{scale}x')
+    model = AssembledModel(backbone=FixedDelta(), head=head)
+    batch = {'patch_1': jnp.asarray(p1), 'patch_2': jnp.asarray(p2)}
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), batch))
+    variables = torch_port.graft(variables, ported, ('auxiliary_resnet',))
+    assert _no_abstract_leaves(variables), 'port did not cover all leaves'
+
+    got = float(model.apply(variables, batch)['loss'])
+    np.testing.assert_allclose(got, want, rtol=3e-3, atol=1e-2)
+
+
+def test_bihome_dual_variant_value_parity(aux_torch):
+    """'dual' triplet variant (ref: PerceptualHead.py:407-441): adds the
+    backbone's OWN feature-space triplet (full-resolution masks, no hinge)
+    on top of the frozen-extractor loss. Requires a ContentAware backbone
+    (backbone.feature_extractor)."""
+    extract, ported = aux_torch
+    p1, p2, d12, d21, _, _ = _inputs(23, with_masks=False)
+
+    torch.manual_seed(9)
+    feat_t = ca_oracle.FeatureExtractorTorch()
+    with torch.no_grad():
+        ca_oracle.randomize_bn_stats(feat_t, np.random.RandomState(13))
+    feat_t.eval()
+
+    def nchw(x):
+        return torch.from_numpy(x.transpose(0, 3, 1, 2))
+
+    def dual_extract(x):
+        with torch.no_grad():
+            return feat_t(x)
+
+    want, parts = loss_oracle.bihome_loss(
+        extract, nchw(p1), nchw(p2), d12, d21,
+        triplet_loss='double-line-dual', triplet_margin='inf',
+        triplet_aggregation='channel-aware', triplet_distance='l1',
+        triplet_mu=0.01, dual_extractor=dual_extract)
+    assert parts['dual'] != 0.0
+
+    class FixedDeltaCA(backbones.ContentAwareBackbone):
+        def __call__(self, data, train=False):
+            return {'delta_hat_12': jnp.asarray(d12),
+                    'delta_hat_21': jnp.asarray(d21)}
+
+    head = HeadConfig(
+        name='PerceptualHead', patch_size=PS,
+        patch_keys=('patch_1', 'patch_2'),
+        delta_hat_keys=('delta_hat_12', 'delta_hat_21'), pf_keys=(),
+        auxiliary_resnet='resnet34', auxiliary_resnet_output_layer=1,
+        triplet_loss='double-line-dual', triplet_margin='inf',
+        triplet_aggregation='channel-aware', triplet_distance='l1',
+        triplet_mu=0.01)
+    model = AssembledModel(backbone=FixedDeltaCA(), head=head)
+    batch = {'patch_1': jnp.asarray(p1), 'patch_2': jnp.asarray(p2)}
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), batch))
+    variables = torch_port.graft(variables, ported, ('auxiliary_resnet',))
+    sd_fe = {f'feature_extractor.{k}': v
+             for k, v in _state_np(feat_t).items()}
+    variables = torch_port.graft(variables,
+                                 torch_port.port_content_aware(sd_fe),
+                                 ('backbone',))
+    assert _no_abstract_leaves(variables), 'port did not cover all leaves'
+
+    got = float(model.apply(variables, batch)['loss'])
+    np.testing.assert_allclose(got, want, rtol=3e-3, atol=1e-2)

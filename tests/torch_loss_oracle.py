@@ -86,12 +86,23 @@ def _masked_mean_sum(mask_a, mask_b, loss_mat):
 def bihome_loss(extractor, patch_1, patch_2, delta_12, delta_21=None,
                 mask_1=None, mask_2=None, triplet_loss='double-line',
                 triplet_margin='inf', triplet_aggregation='channel-aware',
-                triplet_distance='l1', triplet_mu=0.01, mask_crd=False):
+                triplet_distance='l1', triplet_mu=0.01, mask_crd=False,
+                upsample_scale=1, normalize_features=False,
+                dual_extractor=None):
     """The PerceptualHead triplet loss (delta_hat mode, hypothesis_no=1).
 
     extractor: callable NCHW [B,1,i,i] -> NCHW features (frozen, eval).
     Returns (total, components) with components = {'ln1','ln2','ln3'}
-    (double-line) or {} (one-line).
+    (double-line) or {} (one-line); plus 'dual' when dual_extractor is set.
+
+    upsample_scale: SAMPLING_STRATEGY='upsample-patch-{2,4}x' — bilinear
+    align_corners=True upsample before the extractor
+    (ref: PerceptualHead.py:317-318,353-377).
+    normalize_features: WITH_PROJECTION_HEAD's per-pixel channel L2
+    normalization in the one-line loss (ref: PerceptualHead.py:470-497).
+    dual_extractor: 'dual' variant's backbone feature extractor; the dual
+    loss element uses FULL-resolution masks and no hinge
+    (ref: PerceptualHead.py:407-441).
     """
     if mask_1 is None:
         mask_1 = torch.ones_like(patch_1)
@@ -99,17 +110,40 @@ def bihome_loss(extractor, patch_1, patch_2, delta_12, delta_21=None,
         mask_2 = torch.ones_like(patch_2)
     doubleline = 'double-line' in triplet_loss
 
+    def up(x):
+        if upsample_scale <= 1:
+            return x
+        return torch.nn.Upsample(scale_factor=upsample_scale,
+                                 mode='bilinear', align_corners=True)(x)
+
     patch_1_prime, h1 = warp_batch(patch_1, delta_12)
     mask_1_prime, _ = warp_batch(mask_1, delta_12)
     with torch.no_grad():
-        f1 = extractor(patch_1)
-        f2 = extractor(patch_2)
-        f1p = extractor(patch_1_prime)
+        f1 = extractor(up(patch_1))
+        f2 = extractor(up(patch_2))
+        f1p = extractor(up(patch_1_prime))
     if doubleline:
         patch_2_prime, h2 = warp_batch(patch_2, delta_21)
         mask_2_prime, _ = warp_batch(mask_2, delta_21)
         with torch.no_grad():
-            f2p = extractor(patch_2_prime)
+            f2p = extractor(up(patch_2_prime))
+
+    dual = 0.0
+    if dual_extractor is not None:
+        with torch.no_grad():
+            f1d = dual_extractor(patch_1)
+            f2d = dual_extractor(patch_2)
+            f1pd = dual_extractor(patch_1_prime)
+        l1d = torch.sum(torch.abs(f1pd - f2d), dim=1)
+        l3d = torch.sum(torch.abs(f1d - f2d), dim=1)
+        dual = float(_masked_mean_sum(mask_1_prime[:, 0], mask_2[:, 0],
+                                      l1d - l3d))
+        if doubleline:
+            with torch.no_grad():
+                f2pd = dual_extractor(patch_2_prime)
+            l2d = torch.sum(torch.abs(f2pd - f1d), dim=1)
+            dual += float(_masked_mean_sum(mask_2_prime[:, 0],
+                                           mask_1[:, 0], l2d - l3d))
 
     factor = patch_1.shape[-1] // f1.shape[-1]
     m1p = _downsample_masks(mask_1_prime, factor)[:, 0]
@@ -119,6 +153,10 @@ def bihome_loss(extractor, patch_1, patch_2, delta_12, delta_21=None,
         m2p = _downsample_masks(mask_2_prime, factor)[:, 0]
 
     if 'one-line' in triplet_loss:
+        if normalize_features:
+            def norm(f):
+                return f / torch.norm(f, p=2, dim=1, keepdim=True)
+            f1p, f2, f1 = norm(f1p), norm(f2), norm(f1)
         if triplet_distance == 'l1':
             l1 = torch.sum(torch.abs(f1p - f2), dim=1)
             l3 = torch.sum(torch.abs(f1 - f2), dim=1)
@@ -132,8 +170,10 @@ def bihome_loss(extractor, patch_1, patch_2, delta_12, delta_21=None,
         if mask_crd:
             den = torch.sum(m1p, dim=(-2, -1))
             num = torch.sum(m1p * loss_mat, dim=(-2, -1))
-            return float(torch.sum(num / torch.clamp(den, min=1.0))), {}
-        return float(_masked_mean_sum(m1p, m2, loss_mat)), {}
+            return (float(torch.sum(num / torch.clamp(den, min=1.0))) + dual,
+                    {'dual': dual})
+        return (float(_masked_mean_sum(m1p, m2, loss_mat)) + dual,
+                {'dual': dual})
 
     # double-line (l1 distance; the reference's l2/cosine double-line path
     # shape-errors, see test_loss_golden.py note)
@@ -148,8 +188,9 @@ def bihome_loss(extractor, patch_1, patch_2, delta_12, delta_21=None,
     ln2 = float(_masked_mean_sum(m2p, m1, loss_mat_2))
     eye = np.eye(3)[None]
     ln3 = float(np.sum((np.matmul(h1, h2) - eye) ** 2))
-    total = ln1 + ln2 + triplet_mu * ln3
-    return total, {'ln1': ln1, 'ln2': ln2, 'ln3': triplet_mu * ln3}
+    total = ln1 + ln2 + triplet_mu * ln3 + dual
+    return total, {'ln1': ln1, 'ln2': ln2, 'ln3': triplet_mu * ln3,
+                   'dual': dual}
 
 
 def zhang_triplet_loss(feature_extractor, patch_1, patch_2, mask_1, mask_2,
