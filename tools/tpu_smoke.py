@@ -1,0 +1,199 @@
+#!/usr/bin/env python3
+"""Compiled-kernel smoke for the TPU-only Pallas paths.
+
+The hand-written Pallas kernels are TPU-only COMPILED paths: CI runs on
+CPU and exercises them in interpret mode only (tests/test_fused_head.py,
+the warp parity tests in tests/), so the Mosaic-compiled kernels could
+silently rot between rounds. This script runs where bench runs (the real
+chip, axon platform) and compares each compiled kernel against the XLA
+formulation AND a host numpy oracle on small shapes:
+
+  1. BIHOME_WARP_IMPL=pallas  tent warp (ops/warp_pallas.py) — forward
+     and du/dv gradients vs the default XLA tent path and a numpy
+     bilinear oracle, C=1 and C=3.
+  2. BIHOME_PF_HEAD=fused     PF head (ops/fused_head.py) — forward,
+     batch stats, and input/param gradients vs the portable composition
+     (models/backbones.PFHead with BIHOME_PF_HEAD=ref).
+
+Tolerances: the XLA tent contraction and the fused head both round
+f32 matmuls through bf16 MXU passes at default precision (documented
+~2.5% max elementwise, see CLAUDE.md / README divergences), so checks
+use rel 5e-2 with an abs floor — tight enough to catch a broken kernel,
+loose enough for MXU rounding.
+
+Exit code 0 = all checks pass. Referenced from REPRO.md.
+"""
+
+import os
+import sys
+
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
+
+import jax
+
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ['JAX_COMPILATION_CACHE_DIR'])
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FAILURES = []
+
+
+def check(name, got, want, rtol=5e-2, atol=1e-3, scale_rel=False):
+    """scale_rel=False: pointwise |err| <= atol + rtol*|want|.
+    scale_rel=True: max|err| <= atol + rtol*max|want| — the right measure
+    for fused-vs-portable comparisons where bf16 MXU rounding spreads a
+    few-percent-of-tensor-scale error onto near-zero elements (the
+    documented ~2.5%-of-scale divergence, see CLAUDE.md)."""
+    got = np.asarray(got, np.float32)
+    want = np.asarray(want, np.float32)
+    err = np.abs(got - want)
+    scale = np.abs(want).max() if want.size else 0.0
+    if scale_rel:
+        bad = err.max() > atol + rtol * scale
+    else:
+        bad = bool((err > atol + rtol * np.abs(want)).any())
+    status = 'OK' if not bad else 'FAIL'
+    print(f'{status:4s} {name}: max_abs={err.max():.3e} '
+          f'scale={scale:.3e} err/scale={err.max() / max(scale, 1e-12):.3e}')
+    if bad:
+        FAILURES.append(name)
+
+
+def numpy_bilinear(img, u, v):
+    """Oracle: [H,W,C], u/v [P] pixel coords, zero padding outside."""
+    h, w, _ = img.shape
+    x0 = np.floor(u).astype(np.int64)
+    y0 = np.floor(v).astype(np.int64)
+    out = 0.0
+    for dy in (0, 1):
+        for dx in (0, 1):
+            xi, yi = x0 + dx, y0 + dy
+            wgt = (1 - np.abs(u - xi)) * (1 - np.abs(v - yi))
+            valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            pix = img[np.clip(yi, 0, h - 1), np.clip(xi, 0, w - 1)]
+            out = out + np.where(valid, wgt, 0.0)[:, None] * pix
+    return out
+
+
+def warp_smoke():
+    from bihome_tpu import geometry
+
+    rng = np.random.RandomState(0)
+    for c in (1, 3):
+        b, h, w, p = 2, 48, 64, 1000   # P not a TP multiple: pad path
+        img = rng.rand(b, h, w, c).astype(np.float32)
+        # interior + slightly out-of-range coords (zero-padding behavior)
+        u = rng.uniform(-2.0, w + 1.0, (b, p)).astype(np.float32)
+        v = rng.uniform(-2.0, h + 1.0, (b, p)).astype(np.float32)
+        cot = rng.rand(b, p, c).astype(np.float32)
+
+        def run(impl):
+            os.environ['BIHOME_WARP_IMPL'] = impl
+
+            @jax.jit
+            def fwd(im, uu, vv):
+                return geometry.batched_sample(im, uu, vv)
+
+            @jax.jit
+            def grads(im, uu, vv):
+                def scalar(uu, vv):
+                    return jnp.sum(geometry.batched_sample(im, uu, vv)
+                                   * cot)
+                return jax.grad(scalar, argnums=(0, 1))(uu, vv)
+
+            out = np.asarray(fwd(img, u, v))
+            du, dv = map(np.asarray, grads(img, u, v))
+            os.environ['BIHOME_WARP_IMPL'] = 'xla'
+            return out, du, dv
+
+        oracle = np.stack([numpy_bilinear(img[i], u[i], v[i])
+                           for i in range(b)])
+        out_x, du_x, dv_x = run('xla')
+        out_p, du_p, dv_p = run('pallas')
+        check(f'warp C={c} fwd   xla vs oracle', out_x, oracle)
+        check(f'warp C={c} fwd   pallas vs oracle', out_p, oracle)
+        # grads: compare impls to each other (no cheap oracle); abs floor
+        # covers tent-kink ties at integer coords
+        check(f'warp C={c} du    pallas vs xla', du_p, du_x, atol=5e-3)
+        check(f'warp C={c} dv    pallas vs xla', dv_p, dv_x, atol=5e-3)
+
+
+def pf_head_smoke():
+    from bihome_tpu.models import backbones
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 16, 16, 16).astype(np.float32)
+
+    def run(impl):
+        os.environ['BIHOME_PF_HEAD'] = impl
+        head = backbones.PFHead(mid=128, out=2, dtype=jnp.float32)
+        variables = head.init(jax.random.PRNGKey(0), jnp.zeros_like(x),
+                              train=False)
+
+        @jax.jit
+        def fwd(v, x):
+            return head.apply(v, x, train=True, mutable=['batch_stats'])
+
+        @jax.jit
+        def gradfn(v, x):
+            def scalar(params, x):
+                y, _ = head.apply(
+                    {'params': params,
+                     'batch_stats': v['batch_stats']},
+                    x, train=True, mutable=['batch_stats'])
+                return jnp.mean(y * y)
+            return jax.grad(scalar, argnums=(0, 1))(v['params'], x)
+
+        (y, stats) = fwd(variables, x)
+        dparams, dx = gradfn(variables, x)
+        os.environ.pop('BIHOME_PF_HEAD', None)
+        return (np.asarray(y),
+                jax.tree.map(np.asarray, stats['batch_stats']),
+                jax.tree.map(np.asarray, dparams), np.asarray(dx))
+
+    y_r, st_r, dp_r, dx_r = run('ref')
+    y_f, st_f, dp_f, dx_f = run('fused')
+    check('pfhead fwd   fused vs ref', y_f, y_r, scale_rel=True)
+    flat_r = jax.tree_util.tree_leaves_with_path(st_r)
+    flat_f = dict((jax.tree_util.keystr(k), a) for k, a
+                  in jax.tree_util.tree_leaves_with_path(st_f))
+    for k, a in flat_r:
+        check(f'pfhead stats {jax.tree_util.keystr(k)}', flat_f[
+            jax.tree_util.keystr(k)], a, scale_rel=True)
+    gflat_r = jax.tree_util.tree_leaves_with_path(dp_r)
+    gflat_f = dict((jax.tree_util.keystr(k), a) for k, a
+                   in jax.tree_util.tree_leaves_with_path(dp_f))
+    for k, a in gflat_r:
+        check(f'pfhead grad {jax.tree_util.keystr(k)}',
+              gflat_f[jax.tree_util.keystr(k)], a, scale_rel=True)
+    # dx is a small residual of nearly-cancelling BN-backward terms (its
+    # scale is ~100x below the activations'), so bf16 MXU rounding shows
+    # up proportionally larger here: measured 5.9% of dx-scale on v5e
+    # (= ~5e-4 of activation scale). Guard against kernel rot, not
+    # rounding: 15% of dx scale.
+    check('pfhead dx    fused vs ref', dx_f, dx_r, rtol=0.15,
+          scale_rel=True)
+
+
+def main():
+    backend = jax.default_backend()
+    print(f'backend: {backend} ({jax.devices()[0]})')
+    if backend != 'tpu':
+        print('WARNING: not on TPU — Pallas kernels run in INTERPRET mode; '
+              'this validates numerics only, not the compiled kernels.')
+    warp_smoke()
+    pf_head_smoke()
+    if FAILURES:
+        print(f'SMOKE FAILED: {FAILURES}')
+        return 1
+    print('TPU kernel smoke: all checks passed.')
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
