@@ -220,18 +220,36 @@ class AssembledModel(nn.Module):
         patch_1_m, patch_2_m = data[m1k], data[m2k]
         patch_1_f, patch_2_f = data[f1k], data[f2k]
 
-        patch_1_prime, h1 = self._warp(patch_1, data[o1])
+        # FIX_MASK backbones (shipped zhang-orig) emit all-ones masks, so
+        # warp(mask) is the bilinear support mask — closed form
+        # (geometry.ones_warp_mask, ~5 VPU ops/point) instead of a full
+        # tent warp; drops 2 of the 4 TripletHead warps exactly
+        # (ref warps the mask tensor unconditionally: TripletHead.py:49-61).
+        # BIHOME_TRIPLET_MASK=warp restores the generic path (parity test).
+        import os
+        closed_mask = (getattr(self.backbone, 'fix_mask', False)
+                       and os.environ.get('BIHOME_TRIPLET_MASK',
+                                          'auto') != 'warp')
+
+        def warp_pair(patch, mask, delta):
+            if closed_mask:
+                return self._warp_with_support(patch, delta)
+            warped, hmat = self._warp(patch, delta)
+            warped_mask, _ = self._warp(mask, delta)
+            return warped, warped_mask, hmat
+
+        patch_1_prime, patch_1_m_prime, h1 = warp_pair(
+            patch_1, patch_1_m, data[o1])
         patch_1_f_prime = self.backbone.extract_features(patch_1_prime,
                                                          train=train)
-        patch_1_m_prime, _ = self._warp(patch_1_m, data[o1])
 
         doubleline = cfg.variant == 'doubleline'
         if doubleline:
             o2 = cfg.target_keys[1]
-            patch_2_prime, h2 = self._warp(patch_2, data[o2])
+            patch_2_prime, patch_2_m_prime, h2 = warp_pair(
+                patch_2, patch_2_m, data[o2])
             patch_2_f_prime = self.backbone.extract_features(patch_2_prime,
                                                              train=train)
-            patch_2_m_prime, _ = self._warp(patch_2_m, data[o2])
 
         l1 = jnp.abs(patch_1_f_prime - patch_2_f)
         l3 = jnp.abs(patch_1_f - patch_2_f)

@@ -189,6 +189,45 @@ class TestTripletHead:
         total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
         assert total > 0.0
 
+    def test_fix_mask_closed_form_matches_warped_ones(self):
+        """FIX_MASK fast path: the closed-form support mask
+        (geometry.ones_warp_mask) must reproduce the generic path that
+        tent-warps the all-ones mask tensor — loss AND gradients."""
+        import os
+        batch = make_batch()
+        backbone = backbones.ContentAwareBackbone(
+            variant='doubleline', fix_mask=True,
+            target_keys=('delta_hat_12', 'delta_hat_21'))
+        head = HeadConfig(name='TripletHead', variant='doubleline',
+                          patch_keys=('patch_1', 'patch_2'),
+                          mask_keys=('mask_1', 'mask_2'),
+                          feature_keys=('feature_1', 'feature_2'),
+                          target_keys=('delta_hat_12', 'delta_hat_21'),
+                          triplet_margin=1.0,
+                          triplet_aggregation='channel-agnostic',
+                          ld=2, mu=0.01, patch_size=PS)
+        model = AssembledModel(backbone=backbone, head=head)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+
+        def run():
+            def loss_fn(params):
+                o = model.apply({**variables, 'params': params}, batch)
+                return o['loss']
+            val, grads = jax.value_and_grad(loss_fn)(variables['params'])
+            return float(val), jax.tree.map(np.asarray, grads)
+
+        try:
+            os.environ['BIHOME_TRIPLET_MASK'] = 'warp'
+            want_val, want_g = run()
+        finally:
+            os.environ.pop('BIHOME_TRIPLET_MASK', None)
+        got_val, got_g = run()
+        assert got_val == pytest.approx(want_val, rel=1e-5)
+        flat_w = jax.tree_util.tree_leaves(want_g)
+        flat_g = jax.tree_util.tree_leaves(got_g)
+        for a, b in zip(flat_g, flat_w):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
 
 class TestPerceptualHead:
     def _bihome_config(self, **kw):
