@@ -8,13 +8,27 @@ reference's upper_branch/lower_branch so weight ports stay mechanical.
 
 from __future__ import annotations
 
-from typing import Any
+import os
+from typing import Any, Callable, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
+from flax.linen import initializers
 
 from bihome_tpu.models.resnet import conv_init
-from bihome_tpu.ops.deconv import ConvTranspose2x2
+from bihome_tpu.ops.deconv import ConvTranspose2x2, fused_deconv_conv3x3
+
+
+class _RawParams(nn.Module):
+    """Declares params under this module's scope without computing anything
+    — used by fused paths to own the SAME param tree (names, shapes, inits)
+    as the stock modules they replace, so checkpoints/ports are unaffected."""
+    specs: Tuple[Tuple[str, Tuple[int, ...], Callable], ...]
+
+    @nn.compact
+    def __call__(self):
+        return tuple(self.param(name, init, shape, jnp.float32)
+                     for name, shape, init in self.specs)
 
 
 def _bn(train: bool, dtype, name: str):
@@ -134,11 +148,28 @@ class ResNet50DeconvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         features = x.shape[-1]
-        upper = ConvTranspose2x2(features, use_bias=True, dtype=self.dtype,
-                                 name='upper_deconv')(x)
-        upper = nn.Conv(features, (3, 3), padding=1, use_bias=False,
-                        kernel_init=conv_init, dtype=self.dtype,
-                        name='upper_conv1')(upper)
+        # deconv2x2+conv3x3 compose into one lane-full phase-conv2x2
+        # (ops/deconv.fused_deconv_conv3x3): 2.5x fewer FLOPs, no full-res
+        # intermediate in HBM. Exact reparameterization — same params.
+        # BIHOME_DECONV_FUSE=off restores the two-op composition.
+        if os.environ.get('BIHOME_DECONV_FUSE', 'on') != 'off':
+            wd, bd = _RawParams(
+                specs=(('kernel', (2, 2, features, features),
+                        initializers.lecun_normal()),
+                       ('bias', (features,), initializers.zeros_init())),
+                name='upper_deconv')()
+            (w1,) = _RawParams(
+                specs=(('kernel', (3, 3, features, features), conv_init),),
+                name='upper_conv1')()
+            upper = fused_deconv_conv3x3(x.astype(self.dtype), wd, bd, w1,
+                                         dtype=self.dtype)
+        else:
+            upper = ConvTranspose2x2(features, use_bias=True,
+                                     dtype=self.dtype,
+                                     name='upper_deconv')(x)
+            upper = nn.Conv(features, (3, 3), padding=1, use_bias=False,
+                            kernel_init=conv_init, dtype=self.dtype,
+                            name='upper_conv1')(upper)
         upper = _bn(train, self.dtype, 'upper_bn1')(upper)
         upper = nn.relu(upper)
         upper = nn.Conv(features // 2, (1, 1), use_bias=False,

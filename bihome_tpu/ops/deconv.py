@@ -69,6 +69,94 @@ def _ct2x2_bwd(res, g):
 _ct2x2.defvjp(_ct2x2_fwd, _ct2x2_bwd)
 
 
+def compose_deconv2x2_conv3x3(wd: jax.Array, w1: jax.Array) -> jax.Array:
+    """Composite phase kernels for conv3x3(SAME)(ConvTranspose2x2(x; wd)).
+
+    A k2/s2 transposed conv followed by a 3x3 conv is a single k4/s2
+    transposed conv; phase-decomposed, each of the 4 output phases
+    (alpha, beta) is a plain conv2x2 over x with a composite kernel
+
+        K_ab[r,s,ci,co] = sum_{(a,di) in P[alpha][r]} sum_{(b,dj) in P[beta][s]}
+                          sum_m wd[di,dj,m,ci] . w1[a,b,m,co]
+
+    where P[alpha][r] enumerates which conv3x3 tap ``a`` hits which deconv
+    phase ``di`` inside the 2-row x window of that output phase. All four
+    phases stack to ONE [2,2,Cin,4*Cout] kernel — full 128-lane MXU
+    utilization (K=4*Cin, N=4*Cout) where the literal composition runs a
+    lane-starved Cout-wide conv3x3 over the 2x-upsampled intermediate and
+    round-trips that [N,2H,2W,C] tensor through HBM
+    (ref: src/backbones/utils.py:60-82 runs them as two stock torch ops).
+
+    wd: [2,2,Cmid,Cin] (ConvTranspose2x2 layout), w1: [3,3,Cmid,Cout]
+    -> [2,2,Cin,4*Cout] (phase-major output blocks, alpha*2+beta).
+    """
+    f32 = jnp.float32
+    # t[a, di, b, dj, ci, co]
+    t = jnp.einsum('demc,abmo->adbeco', wd.astype(f32), w1.astype(f32))
+    # P[alpha][r] -> valid (conv3x3 tap index a, deconv phase di) pairs for
+    # x-window row r of output phase alpha (window offset: -1 for alpha=0,
+    # 0 for alpha=1). Derivation: u0 row 2(i+off+r)+di == 2i+alpha+(a-1).
+    pairs = ((((0, 1),), ((1, 0), (2, 1))),
+             (((0, 0), (1, 1)), ((2, 0),)))
+    blocks = []
+    for alpha in (0, 1):
+        for beta in (0, 1):
+            rows = []
+            for rp in (0, 1):
+                cols = []
+                for sp in (0, 1):
+                    acc = None
+                    for a, di in pairs[alpha][rp]:
+                        for b, dj in pairs[beta][sp]:
+                            term = t[a, di, b, dj]
+                            acc = term if acc is None else acc + term
+                    cols.append(acc)
+                rows.append(jnp.stack(cols, 0))
+            blocks.append(jnp.stack(rows, 0))                # [2,2,ci,co]
+    return jnp.concatenate(blocks, axis=-1)                  # [2,2,ci,4co]
+
+
+def fused_deconv_conv3x3(x: jax.Array, wd: jax.Array, bd: jax.Array,
+                         w1: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """conv3x3(SAME, no bias)(bias + ConvTranspose2x2(x; wd)) without ever
+    materializing the 2x-upsampled intermediate.
+
+    One conv2x2 (padding 1) with the composite [2,2,Cin,4*Cout] kernel,
+    phase re-assembly (free reshape/transpose), plus the closed-form
+    deconv-bias field: the bias contributes sum_{valid taps} w1.bd per
+    output pixel, which deviates from the interior constant only on the
+    1-px border where conv3x3 taps fall outside the u0 frame — a tiny
+    separable [2H,3]x[2W,3]x[3,3,Cout] einsum, exact at every pixel.
+
+    x: [N,H,W,Cin] -> [N,2H,2W,Cout]. Exact reparameterization of the
+    two-op composition (identical params; see compose_deconv2x2_conv3x3).
+    """
+    n, h, w, _ = x.shape
+    cout = w1.shape[3]
+    kfull = compose_deconv2x2_conv3x3(wd, w1).astype(dtype)
+    out = jax.lax.conv_general_dilated(
+        x.astype(dtype), kfull, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    p00 = out[:, :h, :w, :cout]
+    p01 = out[:, :h, 1:, cout:2 * cout]
+    p10 = out[:, 1:, :w, 2 * cout:3 * cout]
+    p11 = out[:, 1:, 1:, 3 * cout:]
+    ph = jnp.stack([p00, p01, p10, p11], axis=3)             # [n,h,w,4,co]
+    y = ph.reshape(n, h, w, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
+    y = y.reshape(n, 2 * h, 2 * w, cout)
+
+    tb = jnp.einsum('abmo,m->abo', w1.astype(jnp.float32),
+                    bd.astype(jnp.float32))
+    taps = jnp.arange(3)
+
+    def tap_mask(size):
+        pos = jnp.arange(2 * size)[:, None] + taps[None, :] - 1
+        return ((pos >= 0) & (pos < 2 * size)).astype(jnp.float32)
+
+    v = jnp.einsum('pa,qb,abo->pqo', tap_mask(h), tap_mask(w), tb)
+    return y + v.astype(y.dtype)[None]
+
+
 class ConvTranspose2x2(nn.Module):
     """Drop-in for nn.ConvTranspose(features, (2,2), strides=(2,2),
     padding='VALID', transpose_kernel=True) with the phase-matmul VJP."""

@@ -56,3 +56,74 @@ def test_custom_vjp_matches_autodiff(use_bias):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5), go, gs)
+
+
+class TestFusedDeconvConv3x3:
+    """fused_deconv_conv3x3 == conv3x3(SAME)(ConvTranspose2x2(x)) exactly
+    (same params), including gradients, odd sizes, and the bias border
+    field; and ResNet50DeconvBlock keeps an identical param tree and output
+    under BIHOME_DECONV_FUSE on/off."""
+
+    def _reference(self, x, wd, bd, w1):
+        u0 = nn.ConvTranspose(wd.shape[2], (2, 2), strides=(2, 2),
+                              padding='VALID', use_bias=False,
+                              transpose_kernel=True,
+                              name='d').apply({'params': {'kernel': wd}}, x)
+        u0 = u0 + bd
+        return jax.lax.conv_general_dilated(
+            u0, w1, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+    @pytest.mark.parametrize('hw,cin,cout', [((4, 6), 5, 3), ((7, 5), 3, 4)])
+    def test_forward_matches_composition(self, hw, cin, cout):
+        from bihome_tpu.ops.deconv import fused_deconv_conv3x3
+        rng = np.random.RandomState(0)
+        cmid = cin + 1
+        x = jnp.asarray(rng.randn(2, *hw, cin).astype(np.float32))
+        wd = jnp.asarray(rng.randn(2, 2, cmid, cin).astype(np.float32))
+        bd = jnp.asarray(rng.randn(cmid).astype(np.float32))
+        w1 = jnp.asarray(rng.randn(3, 3, cmid, cout).astype(np.float32))
+        got = fused_deconv_conv3x3(x, wd, bd, w1)
+        want = self._reference(x, wd, bd, w1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_gradients_match_composition(self):
+        from bihome_tpu.ops.deconv import fused_deconv_conv3x3
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(2, 4, 5, 3).astype(np.float32))
+        wd = jnp.asarray(rng.randn(2, 2, 4, 3).astype(np.float32))
+        bd = jnp.asarray(rng.randn(4).astype(np.float32))
+        w1 = jnp.asarray(rng.randn(3, 3, 4, 2).astype(np.float32))
+
+        def s(fn):
+            return jax.grad(
+                lambda *a: jnp.sum(jnp.sin(fn(*a))),
+                argnums=(0, 1, 2, 3))(x, wd, bd, w1)
+
+        got = s(fused_deconv_conv3x3)
+        want = s(self._reference)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_block_fused_vs_unfused_same_tree_and_output(self, monkeypatch):
+        from bihome_tpu.models.blocks import ResNet50DeconvBlock
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 6, 8),
+                              jnp.float32)
+        block = ResNet50DeconvBlock()
+
+        def run(mode):
+            monkeypatch.setenv('BIHOME_DECONV_FUSE', mode)
+            v = block.init(jax.random.PRNGKey(3), x, train=True)
+            y, mut = block.apply(v, x, train=True,
+                                 mutable=['batch_stats'])
+            return v, np.asarray(y), mut
+
+        v_f, y_f, _ = run('on')
+        v_u, y_u, _ = run('off')
+        # identical tree: same names, shapes AND init values
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)), v_f, v_u)
+        np.testing.assert_allclose(y_f, y_u, rtol=1e-4, atol=1e-4)
