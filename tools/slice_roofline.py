@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
-"""Analytic per-slice roofline for the zeng-bihome flagship train step.
+"""Analytic per-slice roofline for the tracked train steps.
 
-    python tools/slice_roofline.py [attribute_trace_output.txt]
+    python tools/slice_roofline.py [--model zeng|nguyen|nguyen-photo|zhang] \
+        [attribute_trace_output.txt]
 
 For every conv/deconv/BN/warp slice of the flagship architecture
 (Rethinking ResNet34 DoubleLine + PF head + frozen aux extractor + biHomE
@@ -191,6 +192,114 @@ def flagship():
     return rows
 
 
+def _resnet34_trunk(rows, n, cin, prefix='', bwd='full'):
+    """torchvision resnet34 trunk on [n,128,128,cin] (stem + 4 stages),
+    scope names matching models/resnet.py (layer1_0..layer4_2)."""
+    p = prefix
+    rows += conv(f'{p}conv1', n, 128, 128, cin, 64, 7, 2, bwd)
+    rows += bn(f'{p}conv1', n, 64, 64, 64, bwd != 'none')
+    # maxpool: fwd reads/writes @64 -> 32; bwd select_and_scatter repasses
+    by_mp = 2.0 * n * 64 * 64 * 64
+    rows += [(f'{p}maxpool', 'fwd', 0.0, 1.0, by_mp + by_mp / 4)]
+    if bwd != 'none':
+        rows += [(f'{p}maxpool', 'bwd', 0.0, 1.0, 2 * by_mp)]
+    for i in range(3):
+        rows += resnet34_block(f'{p}layer1_{i}', n, 32, 32, 64, 64, 1,
+                               True, bwd)
+    rows += resnet34_block(f'{p}layer2_0', n, 32, 32, 64, 128, 2, False,
+                           bwd)
+    for i in range(1, 4):
+        rows += resnet34_block(f'{p}layer2_{i}', n, 16, 16, 128, 128, 1,
+                               True, bwd)
+    rows += resnet34_block(f'{p}layer3_0', n, 16, 16, 128, 256, 2, False,
+                           bwd)
+    for i in range(1, 6):
+        rows += resnet34_block(f'{p}layer3_{i}', n, 8, 8, 256, 256, 1,
+                               True, bwd)
+    rows += resnet34_block(f'{p}layer4_0', n, 8, 8, 256, 512, 2, False,
+                           bwd)
+    for i in range(1, 3):
+        rows += resnet34_block(f'{p}layer4_{i}', n, 4, 4, 512, 512, 1,
+                               True, bwd)
+    return rows
+
+
+def _datagen_rows(rows, n, pds=True, emit_images=False):
+    """On-device pair synthesis (data/pipeline.py): window-first tent warp
+    (window ~= patch + 2*rho = 192) + photometric/grayscale/standardize
+    passes. PDS runs the SSD distortion chain (~8 elementwise passes incl.
+    HSV round trip) over both [n,240,320,3] u8->f32 copies (window-first
+    where possible; model full-frame as the ceiling is bw-trivial either
+    way)."""
+    rows += tent_warp('datagen', n, 128 * 128, 192, 1, bwd=False)
+    passes = 8 if pds else 2
+    rows += [('datagen', 'fwd', 0.0, 1.0,
+              passes * 4.0 * n * 240 * 320 * (3 if pds else 1))]
+    return rows
+
+
+def nguyen():
+    """nguyen-orig (PDS variant = the benched config): ResNet34 regressor
+    on stacked grayscale patches [64,128,128,2] + NoOpHead L1 — no loss
+    warp (the PhotometricHead variant is the s-coco config; ref:
+    config/pds-coco/nguyen-orig-lr-5e-3.yaml HEAD.NAME NoOpHead vs
+    config/s-coco/...: PhotometricHead). OneLine, batch 64."""
+    rows = []
+    _resnet34_trunk(rows, 64, 2)
+    _datagen_rows(rows, 64, pds=True)
+    return rows
+
+
+def nguyen_photo():
+    """nguyen-orig s-coco: same backbone + PhotometricHead — fused
+    warp-then-crop samples the 128x128 patch grid from the full
+    [64,240,320,1] image_1 (tent W=320) fwd+bwd
+    (ref: src/heads/PhotometricHead.py:27-41)."""
+    rows = []
+    _resnet34_trunk(rows, 64, 2)
+    rows += tent_warp('loss-warp', 64, 128 * 128, 320, 1, bwd=True)
+    _datagen_rows(rows, 64, pds=False, emit_images=True)
+    return rows
+
+
+def zhang():
+    """zhang-orig (ContentAware + TripletHead DoubleLine, FIX_MASK, batch
+    64): resnet34 regressor on [2B=128,128,128,2] masked-feature stacks,
+    FeatureExtractor (1->4->8->1 convs @ full 128x128 res) on the [2B]
+    patch stack + two [B] warped-patch passes, 2 patch tent warps
+    (closed-form support masks, geometry.ones_warp_mask), triplet
+    distance maps (ref: src/backbones/ContentAware.py:55-146,
+    src/heads/TripletHead.py:29-153)."""
+    rows = []
+    _resnet34_trunk(rows, 128, 2)
+
+    def feat_extractor(tag, n, bwd='full'):
+        rows_ = []
+        rows_ += conv(tag, n, 128, 128, 1, 4, 3, 1, bwd)
+        rows_ += bn(tag, n, 128, 128, 4, bwd != 'none')
+        rows_ += conv(tag, n, 128, 128, 4, 8, 3, 1, bwd)
+        rows_ += bn(tag, n, 128, 128, 8, bwd != 'none')
+        rows_ += conv(tag, n, 128, 128, 8, 1, 3, 1, bwd)
+        rows_ += bn(tag, n, 128, 128, 1, bwd != 'none')
+        return rows_
+
+    rows += feat_extractor('feature_extractor', 128)       # main [2B] pass
+    rows += feat_extractor('feature_extractor', 64)        # warp(p1) pass
+    rows += feat_extractor('feature_extractor', 64)        # warp(p2) pass
+    # 2 patch warps [B,P=16k,W=128,C=1] fwd+bwd (masks are closed-form)
+    rows += tent_warp('loss-warp', 64, 128 * 128, 128, 1, bwd=True)
+    rows += tent_warp('loss-warp', 64, 128 * 128, 128, 1, bwd=True)
+    # triplet distance maps: ~6 passes over [B,128,128,1] f32 loss space
+    rows += [('loss', 'fwd', 0.0, 1.0, 6 * 4.0 * 64 * 128 * 128),
+             ('loss', 'bwd', 0.0, 1.0, 9 * 4.0 * 64 * 128 * 128)]
+    _datagen_rows(rows, 64, pds=True)
+    return rows
+
+
+MODELS = {'zeng': flagship, 'nguyen': nguyen,
+          'nguyen-photo': nguyen_photo, 'zhang': zhang}
+
+
 def parse_measured(path):
     """Parse attribute_trace.py stdout -> {bucket: ms}, aggregating its
     per-block buckets (fwd:layer2_0, fwd:layer2_1, ...) to this tool's
@@ -205,9 +314,15 @@ def parse_measured(path):
 
 
 def main():
-    meas = parse_measured(sys.argv[1]) if len(sys.argv) > 1 else {}
+    argv = sys.argv[1:]
+    model = 'zeng'
+    if '--model' in argv:
+        i = argv.index('--model')
+        model = argv[i + 1]
+        del argv[i:i + 2]
+    meas = parse_measured(argv[0]) if argv else {}
     agg = {}
-    for row in flagship():
+    for row in MODELS[model]():
         name, phase, f, eff, by = row[:5]
         vpu = row[5] if len(row) > 5 else 0.0
         # bucket like attribute_trace: fwd:layerN / bwd:layerN
