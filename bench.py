@@ -154,8 +154,12 @@ def main():
             runs += [
                 ('config/pds-coco/zhang-orig-lr-1e-2.yaml',
                  int(os.environ.get('BENCH_BATCH', '64'))),
+                # nguyen batch 128 like the detone headline: at batch 64
+                # the ResNet34 step is launch-floor-bound (~300 ops x
+                # ~45us; BENCH_NOTES r4 roofline), not hardware-bound —
+                # 128 amortizes the floor. 64 -> 8,717; 128 -> 10,251.
                 ('config/pds-coco/nguyen-orig-lr-5e-3.yaml',
-                 int(os.environ.get('BENCH_BATCH', '64'))),
+                 int(os.environ.get('BENCH_BATCH', '128'))),
             ]
         # Headline LAST: the driver parses the final line.
         runs += [
