@@ -116,6 +116,90 @@ def compose_deconv2x2_conv3x3(wd: jax.Array, w1: jax.Array) -> jax.Array:
     return jnp.concatenate(blocks, axis=-1)                  # [2,2,ci,4co]
 
 
+def _pca_impl(x, kfull):
+    """Phase-conv forward: conv2x2(pad 1) + phase re-assembly."""
+    n, h, w, _ = x.shape
+    cout = kfull.shape[-1] // 4
+    out = jax.lax.conv_general_dilated(
+        x, kfull, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    p00 = out[:, :h, :w, :cout]
+    p01 = out[:, :h, 1:, cout:2 * cout]
+    p10 = out[:, 1:, :w, 2 * cout:3 * cout]
+    p11 = out[:, 1:, 1:, 3 * cout:]
+    ph = jnp.stack([p00, p01, p10, p11], axis=3)             # [n,h,w,4,co]
+    y = ph.reshape(n, h, w, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(n, 2 * h, 2 * w, cout)
+
+
+@jax.custom_vjp
+def _phase_conv_assemble(x, kfull):
+    return _pca_impl(x, kfull)
+
+
+def _pca_fwd(x, kfull):
+    return _pca_impl(x, kfull), (x, kfull)
+
+
+# u-index (K4 tap) -> (phase alpha, window row r): derived from
+# y[2i'+alpha] += x[i'+o_a+r] . K_ab[r,s] with o = (-1, 0).
+_K4_IDX = ((1, 1), (0, 1), (1, 0), (0, 0))
+_OFF = (-1, 0)
+
+
+def _pca_bwd(res, g):
+    """No-reverse backward. XLA's autodiff of the phase-conv graph emits
+    full-res spatial reverses of the cotangent plus a padded
+    [n,h+1,w+1,4co] scatter-accumulate (measured: bwd:layer7_deconv
+    3.43 -> 6.57 ms on zeng). Instead:
+
+      dgrad: the composition is a k4/s2 transposed conv, so dx is ONE
+      stride-2 kernel-4 conv of dy with the trace-time-reindexed kernel
+      K4[u,v] = K_ab[r,s] — reads dy once, no reverses, no padded buffer.
+      wgrad: 16 (phase x tap) dots over free phase views of dy and
+      shifted pads of x — [M,Cin]^T x [M,Cout] with the huge M axis on
+      the MXU, nothing full-res materialized.
+    """
+    x, kfull = res
+    n, h, w, cin = x.shape
+    co = g.shape[-1]
+    km = kfull.reshape(2, 2, cin, 4, co)
+    # K4d[u, v, co, ci] for the dgrad conv (contract over co)
+    k4 = jnp.stack([
+        jnp.stack([km[r, s, :, 2 * a + b, :]
+                   for (b, s) in _K4_IDX], axis=0)
+        for (a, r) in _K4_IDX], axis=0)                      # [4,4,ci,co]
+    dx = jax.lax.conv_general_dilated(
+        g, k4.transpose(0, 1, 3, 2), (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+
+    g_r = g.reshape(n, h, 2, w, 2, co)
+    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    phase_blocks = []
+    for alpha in (0, 1):
+        for beta in (0, 1):
+            g_ab = g_r[:, :, alpha, :, beta, :]
+            taps_r = []
+            for r in (0, 1):
+                taps_s = []
+                for s in (0, 1):
+                    xv = jax.lax.dynamic_slice(
+                        x_pad, (0, 1 + _OFF[alpha] + r,
+                                1 + _OFF[beta] + s, 0),
+                        (n, h, w, cin))
+                    taps_s.append(jnp.einsum(
+                        'nijc,nijo->co', xv, g_ab,
+                        preferred_element_type=jnp.float32))
+                taps_r.append(jnp.stack(taps_s, 0))
+            phase_blocks.append(jnp.stack(taps_r, 0))        # [2,2,ci,co]
+    dk = jnp.concatenate(phase_blocks, axis=-1).astype(kfull.dtype)
+    return dx, dk
+
+
+_phase_conv_assemble.defvjp(_pca_fwd, _pca_bwd)
+
+
 def fused_deconv_conv3x3(x: jax.Array, wd: jax.Array, bd: jax.Array,
                          w1: jax.Array, dtype=jnp.float32) -> jax.Array:
     """conv3x3(SAME, no bias)(bias + ConvTranspose2x2(x; wd)) without ever
@@ -132,18 +216,10 @@ def fused_deconv_conv3x3(x: jax.Array, wd: jax.Array, bd: jax.Array,
     two-op composition (identical params; see compose_deconv2x2_conv3x3).
     """
     n, h, w, _ = x.shape
-    cout = w1.shape[3]
     kfull = compose_deconv2x2_conv3x3(wd, w1).astype(dtype)
-    out = jax.lax.conv_general_dilated(
-        x.astype(dtype), kfull, (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-    p00 = out[:, :h, :w, :cout]
-    p01 = out[:, :h, 1:, cout:2 * cout]
-    p10 = out[:, 1:, :w, 2 * cout:3 * cout]
-    p11 = out[:, 1:, 1:, 3 * cout:]
-    ph = jnp.stack([p00, p01, p10, p11], axis=3)             # [n,h,w,4,co]
-    y = ph.reshape(n, h, w, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
-    y = y.reshape(n, 2 * h, 2 * w, cout)
+    impl = (_pca_impl if os.environ.get('BIHOME_DC_BWD') == 'xla'
+            else _phase_conv_assemble)
+    y = impl(x.astype(dtype), kfull)
 
     tb = jnp.einsum('abmo,m->abo', w1.astype(jnp.float32),
                     bd.astype(jnp.float32))

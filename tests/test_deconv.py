@@ -88,7 +88,9 @@ class TestFusedDeconvConv3x3:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
 
-    def test_gradients_match_composition(self):
+    @pytest.mark.parametrize('bwd_impl', ['phase', 'xla'])
+    def test_gradients_match_composition(self, bwd_impl, monkeypatch):
+        monkeypatch.setenv('BIHOME_DC_BWD', bwd_impl)
         from bihome_tpu.ops.deconv import fused_deconv_conv3x3
         rng = np.random.RandomState(1)
         x = jnp.asarray(rng.randn(2, 4, 5, 3).astype(np.float32))
