@@ -116,10 +116,36 @@ def compose_deconv2x2_conv3x3(wd: jax.Array, w1: jax.Array) -> jax.Array:
     return jnp.concatenate(blocks, axis=-1)                  # [2,2,ci,4co]
 
 
+# u-index (K4 tap) -> (phase alpha, window row r): derived from
+# y[2i'+alpha] += x[i'+o_a+r] . K_ab[r,s] with o = (-1, 0).
+_K4_IDX = ((1, 1), (0, 1), (1, 0), (0, 0))
+
+
+def _k4_from_kfull(kfull, cin, co):
+    """Reindex the [2,2,Cin,4*Cout] phase kernel as the equivalent k4/s2
+    transposed-conv kernel K4[u,v,ci,co] (y[p] = sum_i x[i].K4[p-2i+1])."""
+    km = kfull.reshape(2, 2, cin, 4, co)
+    return jnp.stack([
+        jnp.stack([km[r, s, :, 2 * a + b, :]
+                   for (b, s) in _K4_IDX], axis=0)
+        for (a, r) in _K4_IDX], axis=0)                      # [4,4,ci,co]
+
+
 def _pca_impl(x, kfull):
-    """Phase-conv forward: conv2x2(pad 1) + phase re-assembly."""
-    n, h, w, _ = x.shape
+    """Forward, BIHOME_DC_FWD selects the formulation:
+      'phase' (default): conv2x2(pad 1) over x + phase re-assembly
+        (lane-full MXU, but the assembly is a full-res HBM permute);
+      'ct': one input-dilated conv with the reversed K4 kernel — writes
+        y directly in NHWC (no permute), at the cost of the dilated-conv
+        emitter's zero MACs if the backend doesn't skip them.
+    """
+    n, h, w, cin = x.shape
     cout = kfull.shape[-1] // 4
+    if os.environ.get('BIHOME_DC_FWD', 'phase') == 'ct':
+        k4 = _k4_from_kfull(kfull, cin, cout)[::-1, ::-1]
+        return jax.lax.conv_general_dilated(
+            x, k4, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
     out = jax.lax.conv_general_dilated(
         x, kfull, (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
@@ -141,60 +167,45 @@ def _pca_fwd(x, kfull):
     return _pca_impl(x, kfull), (x, kfull)
 
 
-# u-index (K4 tap) -> (phase alpha, window row r): derived from
-# y[2i'+alpha] += x[i'+o_a+r] . K_ab[r,s] with o = (-1, 0).
-_K4_IDX = ((1, 1), (0, 1), (1, 0), (0, 0))
-_OFF = (-1, 0)
-
-
 def _pca_bwd(res, g):
-    """No-reverse backward. XLA's autodiff of the phase-conv graph emits
-    full-res spatial reverses of the cotangent plus a padded
+    """No-reverse, op-lean backward. XLA's autodiff of the phase-conv
+    graph emits full-res spatial reverses of the cotangent plus a padded
     [n,h+1,w+1,4co] scatter-accumulate (measured: bwd:layer7_deconv
-    3.43 -> 6.57 ms on zeng). Instead:
+    3.43 -> 6.57 ms on zeng); a 16-dot phase wgrad fixes the traffic but
+    drowns in the ~45us/op launch floor (65 ops, 3.87 ms). Three ops:
 
       dgrad: the composition is a k4/s2 transposed conv, so dx is ONE
       stride-2 kernel-4 conv of dy with the trace-time-reindexed kernel
-      K4[u,v] = K_ab[r,s] — reads dy once, no reverses, no padded buffer.
-      wgrad: 16 (phase x tap) dots over free phase views of dy and
-      shifted pads of x — [M,Cin]^T x [M,Cout] with the huge M axis on
-      the MXU, nothing full-res materialized.
+      — reads dy once, no reverses, no padded buffer.
+      wgrad: ONE batch-contracting conv (lhs=pad(dy) spec CHWN, rhs=x
+      spec IHWO, rhs_dilation 2): dK4[u,v,ci,co] =
+      sum_{n,i,j} x[n,i,j,ci] . dy[n,2i-1+u,2j-1+v,co], then the tiny
+      inverse phase reindex back to the [2,2,Cin,4Cout] layout.
     """
     x, kfull = res
     n, h, w, cin = x.shape
     co = g.shape[-1]
-    km = kfull.reshape(2, 2, cin, 4, co)
-    # K4d[u, v, co, ci] for the dgrad conv (contract over co)
-    k4 = jnp.stack([
-        jnp.stack([km[r, s, :, 2 * a + b, :]
-                   for (b, s) in _K4_IDX], axis=0)
-        for (a, r) in _K4_IDX], axis=0)                      # [4,4,ci,co]
+    k4 = _k4_from_kfull(kfull, cin, co)
     dx = jax.lax.conv_general_dilated(
         g, k4.transpose(0, 1, 3, 2), (2, 2), ((1, 1), (1, 1)),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         preferred_element_type=jnp.float32).astype(x.dtype)
 
-    g_r = g.reshape(n, h, 2, w, 2, co)
-    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    phase_blocks = []
-    for alpha in (0, 1):
-        for beta in (0, 1):
-            g_ab = g_r[:, :, alpha, :, beta, :]
-            taps_r = []
-            for r in (0, 1):
-                taps_s = []
-                for s in (0, 1):
-                    xv = jax.lax.dynamic_slice(
-                        x_pad, (0, 1 + _OFF[alpha] + r,
-                                1 + _OFF[beta] + s, 0),
-                        (n, h, w, cin))
-                    taps_s.append(jnp.einsum(
-                        'nijc,nijo->co', xv, g_ab,
-                        preferred_element_type=jnp.float32))
-                taps_r.append(jnp.stack(taps_s, 0))
-            phase_blocks.append(jnp.stack(taps_r, 0))        # [2,2,ci,co]
-    dk = jnp.concatenate(phase_blocks, axis=-1).astype(kfull.dtype)
-    return dx, dk
+    g_pad = jnp.pad(g, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dk4 = jax.lax.conv_general_dilated(
+        g_pad, x, (1, 1), 'VALID', rhs_dilation=(2, 2),
+        dimension_numbers=('CHWN', 'IHWO', 'NHWC'),
+        preferred_element_type=jnp.float32)                  # [co,4,4,ci]
+    dk4 = dk4.transpose(1, 2, 3, 0)                          # [4,4,ci,co]
+    # inverse reindex: K4[u,v] -> K_ab[r,s] channel blocks of kfull
+    u_of = {ar: u for u, ar in enumerate(_K4_IDX)}
+    dk = jnp.stack([
+        jnp.stack([
+            jnp.concatenate([dk4[u_of[(a, r)], u_of[(b, s)]]
+                             for a in (0, 1) for b in (0, 1)], axis=-1)
+            for s in (0, 1)], axis=0)
+        for r in (0, 1)], axis=0)                            # [2,2,ci,4co]
+    return dx, dk.astype(kfull.dtype)
 
 
 _phase_conv_assemble.defvjp(_pca_fwd, _pca_bwd)
