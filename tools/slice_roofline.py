@@ -82,13 +82,25 @@ def resnet34_block(prefix, n, h, w, cin, cout, stride, identity, bwd='full'):
 
 
 def deconv_block(prefix, n, h, w, c, bwd='full'):
-    """ResNet50DeconvBlock: upper = deconv2x2(C) + conv3x3(C) + conv1x1(C/2),
-    lower = deconv2x2(C/2). Phase-matmul deconv == 1x1 conv to 4*Cout then
-    free depth-to-space (ops/deconv.py)."""
+    """ResNet50DeconvBlock with the FUSED upper path (r4,
+    ops/deconv.fused_deconv_conv3x3): deconv2x2+conv3x3 compose into one
+    k4/s2 dilated conv — 2.5x fewer FLOPs than the two-op literal, no
+    [n,2h,2w,C] intermediate. bwd = one k4 stride-2 dgrad conv of dy +
+    one batch-contracting wgrad conv over pad(dy). Then BN + conv1x1(C/2)
+    + BN, lower deconv2x2(C/2) (phase-matmul) + BN."""
     rows = []
-    # deconv C->C as [n*h*w, C] x [C, 4C] matmul
-    rows += conv(prefix, n, h, w, c, 4 * c, 1, 1, bwd)
-    rows += conv(prefix, n, 2 * h, 2 * w, c, c, 3, 1, bwd)
+    m = float(n * h * w)
+    f = 2.0 * 4 * m * 4 * c * c          # 4m outputs x 4C-tap x C MACs
+    eff_f = min(1.0, 4 * c / 128.0) * min(1.0, c / 128.0)
+    eff_d = min(1.0, 16 * c / 128.0) * min(1.0, c / 128.0)
+    by_x = 2.0 * m * c                   # x read (bf16)
+    by_y = 8.0 * m * c                   # y write at 2Hx2W
+    rows += [(prefix, 'fwd', f, eff_f, by_x + by_y)]
+    if bwd == 'full':
+        # dgrad (read g, write dx) + wgrad (pad g: write+read, read x)
+        rows += [(prefix, 'bwd', 2 * f,
+                  (eff_d + min(1.0, c / 128.0)) / 2,
+                  3 * by_y + 2 * by_x)]
     rows += bn(prefix, n, 2 * h, 2 * w, c, bwd != 'none')
     rows += conv(prefix, n, 2 * h, 2 * w, c, c // 2, 1, 1, bwd)
     rows += bn(prefix, n, 2 * h, 2 * w, c // 2, bwd != 'none')
