@@ -73,12 +73,16 @@ def bucket(sc, name):
     grad = s.startswith('transpose(jvp')
     key = None
     for t in s.split('/'):
-        if re.match(r'layer\d|auxiliary_resnet|ScoreCNN|projection', t):
+        if re.match(r'layer\d|auxiliary_resnet|ScoreCNN|projection'
+                    r'|feature_extractor|mask_predictor', t):
             key = t
             break
     if key is None:
-        for pat, b in [('generate_pairs', 'datagen'), ('triplet', 'loss'),
-                       ('warp', 'loss-warp'), ('dsac', 'dsac'),
+        # 'warp' before 'triplet': the triplet head's tent warps should
+        # bucket as loss-warp, not blend into the loss distances.
+        for pat, b in [('generate_pairs', 'datagen'),
+                       ('warp', 'loss-warp'), ('triplet', 'loss'),
+                       ('dsac', 'dsac'),
                        ('clip_by_global_norm', 'opt'), ('adam', 'opt'),
                        ('compute_loss', 'loss')]:
             if pat in s:
