@@ -714,9 +714,11 @@ class AssembledModel(nn.Module):
                 delta = jnp.take_along_axis(
                     delta_hats, best[:, None, None, None], axis=1)[:, 0]
                 if cfg.dsac_predict_refine:
+                    thr = (cfg.dsac_predict_refine_threshold
+                           if cfg.dsac_predict_refine_threshold > 0
+                           else cfg.scoring_distance_threshold)
                     delta = dsac_lib.refine_delta_on_pf(
-                        pf, delta, cfg.scoring_distance_threshold,
-                        cfg.dsac_predict_refine_iters)
+                        pf, delta, thr, cfg.dsac_predict_refine_iters)
                 return delta
 
             delta_hat = fit_delta(data[cfg.pf_keys[0]])

@@ -71,6 +71,11 @@ class HeadConfig:
     # IRLS rounds for the refit (each round re-weights by the previous
     # fit's residuals); 1 == the single weighted-DLT step.
     dsac_predict_refine_iters: int = 1
+    # Inlier threshold (px) for the refit weights; <= 0 reuses
+    # SCORING_DISTANCE_THRESHOLD (the training-time DSAC scoring value).
+    # Predict-only: lets noisier distributions (PDS) pick a different
+    # robustness radius without touching scoring.
+    dsac_predict_refine_threshold: float = -1.0
     # Predict-only extension knob: fuse the DoubleLine 2->1 field's fit
     # (inverted through the corner parametrization, H12 = H21^-1) with the
     # 1->2 fit by averaging deltas — two estimates of the same homography
@@ -161,6 +166,9 @@ class HeadConfig:
         if 'DSAC_PREDICT_REFINE_ITERS' in head:
             kw['dsac_predict_refine_iters'] = int(
                 head['DSAC_PREDICT_REFINE_ITERS'])
+        if 'DSAC_PREDICT_REFINE_THRESHOLD' in head:
+            kw['dsac_predict_refine_threshold'] = float(
+                head['DSAC_PREDICT_REFINE_THRESHOLD'])
         if 'DSAC_PREDICT_BIDIRECTIONAL' in head:
             kw['dsac_predict_bidirectional'] = bool(
                 head['DSAC_PREDICT_BIDIRECTIONAL'])

@@ -496,13 +496,16 @@ def test_dsac_predict_bidirectional_fuses_both_fields():
 def test_dsac_predict_refine_config_knob():
     cfg = HeadConfig.from_yaml({'NAME': 'PerceptualHead',
                                 'DSAC_PREDICT_REFINE': True,
-                                'DSAC_PREDICT_REFINE_ITERS': 3})
+                                'DSAC_PREDICT_REFINE_ITERS': 3,
+                                'DSAC_PREDICT_REFINE_THRESHOLD': 5.0})
     assert cfg.dsac_predict_refine
     assert cfg.dsac_predict_refine_iters == 3
-    assert not HeadConfig.from_yaml({'NAME': 'PerceptualHead'}
-                                    ).dsac_predict_refine
-    assert HeadConfig.from_yaml({'NAME': 'PerceptualHead'}
-                                ).dsac_predict_refine_iters == 1
+    assert cfg.dsac_predict_refine_threshold == 5.0
+    default = HeadConfig.from_yaml({'NAME': 'PerceptualHead'})
+    assert not default.dsac_predict_refine
+    assert default.dsac_predict_refine_iters == 1
+    # <=0 means "reuse SCORING_DISTANCE_THRESHOLD"
+    assert default.dsac_predict_refine_threshold <= 0
 
 
 # --------------------------------------------------------------------- #
