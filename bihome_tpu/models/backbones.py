@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from bihome_tpu.models import blocks
+from bihome_tpu.ops import pool as pool_ops
 from bihome_tpu.models.resnet import ResNet, conv_init
 
 Array = Any
@@ -172,7 +173,8 @@ class RethinkingBackbone(nn.Module):
                     kernel_init=conv_init, dtype=dt, name='layer1_conv')(x)
         x = _bn(train, dt, 'layer1_bn')(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = pool_ops.max_pool(x, (3, 3), strides=(2, 2),
+                              padding=((1, 1), (1, 1)))
 
         if r50:
             x = blocks.ResNet50ConvBlock(256, 1, dt, name='layer2_0')(x, train)
@@ -361,7 +363,7 @@ class HomographyNetBackbone(nn.Module):
             x = nn.relu(x)
             x = _bn(train, self.dtype, f'bn{i + 1}')(x)
             if pool:
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                x = pool_ops.max_pool(x, (2, 2), strides=(2, 2))
         x = x.reshape(x.shape[0], -1)
         x = nn.relu(nn.Dense(1024, dtype=self.dtype, name='fc1')(x))
         x = nn.Dense(8, dtype=self.dtype, name='fc2')(x)

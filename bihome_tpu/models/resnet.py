@@ -21,6 +21,8 @@ from typing import Any, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from bihome_tpu.ops import pool as pool_ops
+
 # kaiming_normal(fan_out) — torchvision's resnet conv init.
 conv_init = nn.initializers.variance_scaling(2.0, 'fan_out',
                                              'truncated_normal')
@@ -129,7 +131,8 @@ class ResNet(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name='bn1')(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = pool_ops.max_pool(x, (3, 3), strides=(2, 2),
+                              padding=((1, 1), (1, 1)))
 
         features = 64
         for stage, num_blocks in enumerate(stage_sizes):
