@@ -12,9 +12,9 @@ This implementation keeps the XLA forward (reduce_window is optimal) and
 replaces only the VJP:
 
   1. re-slice the padded input into its K = kh*kw strided tap views and
-     take ``argmax`` over the tap axis — a [N,P,Q,C] int8 map of which
-     window element won (argmax returns the FIRST maximum, matching
-     SelectAndScatter's first-match tie routing);
+     compute a running first-maximum index — a [N,P,Q,C] int8 map of
+     which window element won (first maximum, matching SelectAndScatter's
+     first-match tie routing), kept in the natural NHWC layout;
   2. dx = sum over taps of interior-dilated ``dy * (idx == k)`` placed at
      the tap offset — pads, strided slices and elementwise selects only,
      which XLA fuses into one output pass (no scatter).
@@ -38,7 +38,11 @@ Pad2 = Tuple[Tuple[int, int], Tuple[int, int]]
 
 
 def _use_custom_bwd() -> bool:
-    return os.environ.get('BIHOME_MAXPOOL_BWD', 'taps') != 'xla'
+    # Default 'xla' until the tap path is (re-)measured on the real chip:
+    # the first tap formulation (stacked argmax) measured 0.66x END-TO-END
+    # on zeng/zeng-orig training — layout, not semantics (see module note).
+    # Flip per-run with BIHOME_MAXPOOL_BWD=taps; tests cover both.
+    return os.environ.get('BIHOME_MAXPOOL_BWD', 'xla') == 'taps'
 
 
 def _reduce_max(x, window, strides, padding: Pad2):
@@ -86,10 +90,18 @@ def _max_pool_bwd(window, strides, padding, x, g):
     xpad = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)),
                    constant_values=neg)
     taps = _tap_slices(xpad, (p, q), window, strides)
-    # First-maximum index per window (argmax tie rule == SelectAndScatter's
-    # first-match routing), materialized as int8 so the dx fusion reads a
-    # [N,P,Q,C] byte map instead of re-deriving window maxima.
-    idx = jnp.argmax(jnp.stack(taps, axis=-1), axis=-1).astype(jnp.int8)
+    # First-maximum index per window (strict '>' keeps the earliest max ==
+    # SelectAndScatter's first-match tie routing), computed as a running
+    # max/index in the natural [N,P,Q,C] layout. NB: do NOT jnp.stack the
+    # taps and argmax over a new minor axis — a size-K minormost dim pads
+    # to the 128-lane tile on TPU (~14x relayout blowup; measured ~0.66x
+    # end-to-end on zeng when this backward shipped stacked).
+    best = taps[0]
+    idx = jnp.zeros(best.shape, jnp.int8)
+    for k in range(1, len(taps)):
+        better = taps[k] > best
+        best = jnp.where(better, taps[k], best)
+        idx = jnp.where(better, jnp.int8(k), idx)
     hp, wp = h + pt + pb, w + pl + pr
     acc = None
     for k in range(window[0] * window[1]):

@@ -230,12 +230,15 @@ def main(args):
         maces = np.concatenate(
             [np.asarray(m).reshape(-1) for m in dist_util.all_gather(maces)])
 
-    # Timing: pre-generate all batches, then time predict only.
-    batches = jax.block_until_ready(datagen_all(pool))
-    predict_timed(state, batches, jnp.float32(0.0))            # warmup
-    start = time.perf_counter()
-    jax.block_until_ready(predict_timed(state, batches, jnp.float32(1e-30)))
-    per_batch_ms = (time.perf_counter() - start) / num_iters * 1000.0
+    per_batch_ms = float('nan')
+    if not args.skip_timing:
+        # Timing: pre-generate all batches, then time predict only.
+        batches = jax.block_until_ready(datagen_all(pool))
+        predict_timed(state, batches, jnp.float32(0.0))        # warmup
+        start = time.perf_counter()
+        jax.block_until_ready(
+            predict_timed(state, batches, jnp.float32(1e-30)))
+        per_batch_ms = (time.perf_counter() - start) / num_iters * 1000.0
 
     if args.log and dist_util.is_main_process():
         # Per-sample CSV "iter,mace" (ref: eval.py:136-138; iteration ==
@@ -314,6 +317,9 @@ if __name__ == '__main__':
     parser.add_argument('--vis_dir', type=str, default='vis_out')
     parser.add_argument('--log', type=str, default='')
     parser.add_argument('--synthetic', action='store_true')
+    parser.add_argument('--skip_timing', action='store_true',
+                        help='skip the "Mean model time" loop (MACE only; '
+                             'framework extension for knob sweeps)')
     parser.add_argument('--steps', type=int, default=0)
     parser.add_argument('--image_size', type=int, nargs=2,
                         default=(320, 240))

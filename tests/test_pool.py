@@ -6,12 +6,18 @@ the same semantics through torch max_pool2d (ref:
 src/backbones/ResNet34.py:15-28, src/backbones/Rethinking.py:31-35).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from bihome_tpu.ops import pool
+
+# The default is the conservative XLA autodiff path (see ops/pool.py);
+# these tests exist to pin the TAP backward's semantics.
+os.environ['BIHOME_MAXPOOL_BWD'] = 'taps'
 
 
 CONFIGS = [
@@ -110,8 +116,12 @@ def test_bf16_gradient_matches_xla():
                                rtol=0, atol=0.07)
 
 
-def test_env_fallback(monkeypatch):
-    monkeypatch.setenv('BIHOME_MAXPOOL_BWD', 'xla')
+@pytest.mark.parametrize('impl', ['xla', 'default'])
+def test_env_fallback(monkeypatch, impl):
+    if impl == 'default':
+        monkeypatch.delenv('BIHOME_MAXPOOL_BWD', raising=False)
+    else:
+        monkeypatch.setenv('BIHOME_MAXPOOL_BWD', impl)
     x = jax.random.normal(jax.random.PRNGKey(6), (1, 8, 8, 2))
     out = pool.max_pool(x, (2, 2), (2, 2))
     np.testing.assert_array_equal(

@@ -21,7 +21,7 @@ run() {
   echo "=== $label ==="
   local mace
   mace=$(timeout 1800 python eval.py --config_file "$CFG" --synthetic \
-      --batch_size 64 --ckpt "$CKPT" \
+      --batch_size 64 --ckpt "$CKPT" --skip_timing \
       --set "MODEL.HEAD.AUXILIARY_RESNET_PATH=$AUX" \
       --set MODEL.HEAD.TRIPLET_AGGREGATION=channel-aware \
       --set MODEL.HEAD.TRIPLET_MARGIN=0.02 \

@@ -180,6 +180,34 @@ def pf_head_smoke():
           scale_rel=True)
 
 
+def maxpool_smoke():
+    """ops/pool.py argmax-tap VJP vs XLA SelectAndScatter on the stem
+    shape (k3/s2/p1). Not a Pallas kernel, but its pad/select lowering is
+    TPU-specific; routing must agree, sums may differ by addition order."""
+    from bihome_tpu.ops import pool
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(4, 64, 64, 16).astype(np.float32))
+    window, strides, padding = (3, 3), (2, 2), ((1, 1), (1, 1))
+    g = jnp.asarray(rng.randn(4, 32, 32, 16).astype(np.float32))
+
+    def grad_of(impl):
+        os.environ['BIHOME_MAXPOOL_BWD'] = impl
+
+        @jax.jit
+        def d(x):
+            return jax.grad(lambda x: jnp.sum(
+                pool.max_pool(x, window, strides, padding) * g))(x)
+
+        out = np.asarray(d(x))
+        os.environ.pop('BIHOME_MAXPOOL_BWD', None)
+        return out
+
+    dx_taps = grad_of('taps')
+    dx_xla = grad_of('xla')
+    check('maxpool dx  taps vs xla', dx_taps, dx_xla, rtol=1e-5, atol=1e-4)
+
+
 def main():
     backend = jax.default_backend()
     print(f'backend: {backend} ({jax.devices()[0]})')
@@ -188,6 +216,7 @@ def main():
               'this validates numerics only, not the compiled kernels.')
     warp_smoke()
     pf_head_smoke()
+    maxpool_smoke()
     if FAILURES:
         print(f'SMOKE FAILED: {FAILURES}')
         return 1
