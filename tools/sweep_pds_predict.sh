@@ -20,7 +20,10 @@ run() {
   local label="$1"; shift
   echo "=== $label ==="
   local mace
-  mace=$(timeout 1800 python eval.py --config_file "$CFG" --synthetic \
+  # 900s cap: a full-protocol eval takes ~5-6 min incl. compile; the axon
+  # tunnel can wedge mid-run (<2% host CPU, no error — see BENCH_NOTES r4),
+  # and a wedged variant should fail fast and let the next one proceed.
+  mace=$(timeout 900 python eval.py --config_file "$CFG" --synthetic \
       --batch_size 64 --ckpt "$CKPT" --skip_timing \
       --set "MODEL.HEAD.AUXILIARY_RESNET_PATH=$AUX" \
       --set MODEL.HEAD.TRIPLET_AGGREGATION=channel-aware \
@@ -35,8 +38,11 @@ B='--set MODEL.HEAD.DSAC_PREDICT_BIDIRECTIONAL=true'
 run base
 run refine $R
 run refine+bidir $R $B
-for thr in 1.0 1.5 2.0 4.0; do
+for thr in 1.5 2.0 4.0; do
   run "refine+bidir thr=$thr" $R $B \
       --set "MODEL.HEAD.DSAC_PREDICT_REFINE_THRESHOLD=$thr"
 done
+# NB: DSAC_PREDICT_REFINE_ITERS=2 deterministically faults the axon
+# backend on the full eval graph (BENCH_NOTES r4); iters>1 is value-pinned
+# on CPU in tests/test_heads.py instead.
 echo "sweep written to $OUT"
