@@ -22,6 +22,12 @@ replaces only the VJP:
 Traffic is x + dy + idx + dx (vs the scatter formulation's serialized
 window walk). ``BIHOME_MAXPOOL_BWD=xla`` restores stock autodiff.
 Exactness (including tie routing) is pinned by tests/test_pool.py.
+
+NB: the env var is read at TRACE time (each ``max_pool`` call), and jit
+caches are not keyed on it — set it before the first compile of a given
+function; flipping it mid-process does not retrace already-compiled
+callers. (Both paths are numerically equivalent, so a stale cache is a
+perf setting, never a wrong gradient.)
 """
 
 from __future__ import annotations

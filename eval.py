@@ -302,7 +302,8 @@ def main(args):
     if dist_util.is_main_process():
         print('Number of params: {}'.format(count_params(state.params)))
         print('Mean mace: {}'.format(float(np.mean(maces))))
-        print('Mean model time: {}'.format(per_batch_ms))
+        if not args.skip_timing:
+            print('Mean model time: {}'.format(per_batch_ms))
 
 
 if __name__ == '__main__':

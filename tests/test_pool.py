@@ -6,8 +6,6 @@ the same semantics through torch max_pool2d (ref:
 src/backbones/ResNet34.py:15-28, src/backbones/Rethinking.py:31-35).
 """
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,9 +13,16 @@ import pytest
 
 from bihome_tpu.ops import pool
 
-# The default is the conservative XLA autodiff path (see ops/pool.py);
-# these tests exist to pin the TAP backward's semantics.
-os.environ['BIHOME_MAXPOOL_BWD'] = 'taps'
+
+@pytest.fixture(autouse=True)
+def _taps_backward(monkeypatch):
+    # The default is the conservative XLA autodiff path (see ops/pool.py);
+    # these tests exist to pin the TAP backward's semantics. monkeypatch
+    # scopes the override to this module — a module-level os.environ
+    # assignment would leak the taps backward into every other test's
+    # gradients (it is read at trace time).
+    monkeypatch.setenv('BIHOME_MAXPOOL_BWD', 'taps')
+    yield
 
 
 CONFIGS = [

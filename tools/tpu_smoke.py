@@ -192,16 +192,20 @@ def maxpool_smoke():
     g = jnp.asarray(rng.randn(4, 32, 32, 16).astype(np.float32))
 
     def grad_of(impl):
+        prior = os.environ.get('BIHOME_MAXPOOL_BWD')
         os.environ['BIHOME_MAXPOOL_BWD'] = impl
+        try:
+            @jax.jit
+            def d(x):
+                return jax.grad(lambda x: jnp.sum(
+                    pool.max_pool(x, window, strides, padding) * g))(x)
 
-        @jax.jit
-        def d(x):
-            return jax.grad(lambda x: jnp.sum(
-                pool.max_pool(x, window, strides, padding) * g))(x)
-
-        out = np.asarray(d(x))
-        os.environ.pop('BIHOME_MAXPOOL_BWD', None)
-        return out
+            return np.asarray(d(x))
+        finally:
+            if prior is None:
+                os.environ.pop('BIHOME_MAXPOOL_BWD', None)
+            else:
+                os.environ['BIHOME_MAXPOOL_BWD'] = prior
 
     dx_taps = grad_of('taps')
     dx_xla = grad_of('xla')
