@@ -20,6 +20,8 @@ from bihome_tpu import config as config_lib
 from bihome_tpu.models.resnet import ResNet
 from bihome_tpu.utils import aux_store
 
+pytestmark = pytest.mark.slow  # heavyweight tier; deselect with -m "not slow"
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CONFIG = os.path.join(REPO, 'config/s-coco/zeng-bihome-lr-1e-3.yaml')
 

@@ -18,6 +18,8 @@ torch = pytest.importorskip('torch')
 from bihome_tpu.models import backbones, torch_port  # noqa: E402
 from tests import torch_rethinking_oracle as oracle  # noqa: E402
 
+pytestmark = pytest.mark.slow  # heavyweight tier; deselect with -m "not slow"
+
 
 def _state_np(module):
     return {k: v.detach().numpy() for k, v in module.state_dict().items()}

@@ -56,6 +56,7 @@ def test_semantics_match_reference_tree():
             ref, sort_keys=True), path
 
 
+@pytest.mark.slow
 def test_tiny_end_to_end_per_head_family(tmp_path):
     """One fused train step per head family on 16px patches (CPU)."""
     import dataclasses

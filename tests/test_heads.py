@@ -160,6 +160,7 @@ class TestPhotometricHead:
 
 
 class TestTripletHead:
+    @pytest.mark.slow
     def test_zhang_loss_runs_and_grads(self):
         batch = make_batch()
         backbone = backbones.ContentAwareBackbone(
@@ -244,6 +245,7 @@ class TestPerceptualHead:
         base.update(kw)
         return HeadConfig(**base)
 
+    @pytest.mark.slow
     def test_bihome_delta_mode_loss_and_freeze_semantics(self):
         batch = make_batch()
         backbone = backbones.ResNet34Backbone(
@@ -559,6 +561,7 @@ def test_dsac_score_hypotheses_matches_numpy_oracle(method):
     np.testing.assert_allclose(scores.sum(-1), 1.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 class TestMultiHypothesisThroughLoss:
     """hypothesis_no>1 executed through the FULL biHomE loss for every
     scoring method (ref: PerceptualHead.py:154-205 + ransac_utils.py:

@@ -32,6 +32,8 @@ from tests import torch_loss_oracle as loss_oracle              # noqa: E402
 from tests import torch_rethinking_oracle as ca_oracle          # noqa: E402
 from tests.torch_resnet_oracle import ResNet34                  # noqa: E402
 
+pytestmark = pytest.mark.slow  # heavyweight tier; deselect with -m "not slow"
+
 PS = 32
 B = 2
 

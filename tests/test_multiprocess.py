@@ -18,6 +18,8 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+pytestmark = pytest.mark.slow  # heavyweight tier; deselect with -m "not slow"
+
 _WORKER = r'''
 import os, sys
 os.environ['JAX_PLATFORMS'] = 'cpu'
@@ -58,6 +60,7 @@ os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
 import numpy as np
 import jax
 import jax.numpy as jnp
+
 jax.config.update('jax_platforms', 'cpu')
 jax.distributed.initialize(coordinator_address=sys.argv[1],
                            num_processes=2, process_id=int(sys.argv[2]))

@@ -19,6 +19,8 @@ from bihome_tpu.data import datasets
 from bihome_tpu.training import trainer as trainer_lib
 from bihome_tpu.training import train_state as ts_lib
 
+pytestmark = pytest.mark.slow  # heavyweight tier; deselect with -m "not slow"
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CONFIG = os.path.join(REPO, 'config/s-coco/detone-orig-lr-5e-3.yaml')
 

@@ -6,8 +6,11 @@ it with stub commands; no JAX involved.
 """
 
 import os
+import pytest
 import pathlib
 import subprocess
+
+pytestmark = pytest.mark.slow  # heavyweight tier; deselect with -m "not slow"
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 SCRIPT = REPO / 'tools' / 'supervise_train.sh'

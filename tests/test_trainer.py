@@ -47,6 +47,7 @@ def images(batch=8, seed=0):
 
 
 class TestOptimizer:
+    @pytest.mark.slow
     def test_frozen_aux_resnet_not_updated(self):
         built = tiny_built(bihome=True)
         imgs = np.asarray(images(2))
@@ -76,6 +77,7 @@ class TestOptimizer:
         assert np.isclose(float(schedule(10)), 0.1)
         assert np.isclose(float(schedule(25)), 0.01)
 
+    @pytest.mark.slow
     def test_supervised_loss_decreases(self):
         # rho=2 gives deltas in {-2,-1,0,1} (mean -0.5): learning just the
         # output bias drops MSE from E[d^2]=1.5 toward Var[d]=1.25 within a
@@ -97,6 +99,7 @@ class TestOptimizer:
         assert np.mean(losses[-10:]) < np.mean(losses[:10]), losses
 
 
+@pytest.mark.slow
 class TestMeshDP:
     def test_sharded_matches_single_device(self):
         built = tiny_built()
