@@ -34,6 +34,7 @@ from bihome_tpu.heads import dsac as dsac_lib
 from bihome_tpu.heads import ransac as ransac_lib
 from bihome_tpu.heads.config import HeadConfig
 from bihome_tpu.models.resnet import ResNet
+from bihome_tpu.ops import fused_loss
 
 Array = jax.Array
 
@@ -251,14 +252,43 @@ class AssembledModel(nn.Module):
             patch_2_f_prime = self.backbone.extract_features(patch_2_prime,
                                                              train=train)
 
+        m2_sq = patch_2_m[..., 0]
+        m1p_sq = patch_1_m_prime[..., 0]
+        if doubleline and fused_loss.use_fused_loss():
+            # Fused distance/mask-norm chain (ops/fused_loss.py), zhang
+            # flavor: learned features on BOTH sides (plain_grad=True) and
+            # no margin*C second-direction quirk (second_scale=False;
+            # ref: TripletHead.py:86-100 uses the plain margin twice).
+            m1_sq = patch_1_m[..., 0]
+            m2p_sq = patch_2_m_prime[..., 0]
+            ln1, ln2, fm = fused_loss.triplet_double_line(
+                jnp.concatenate([patch_1_f_prime, patch_2_f_prime], axis=0),
+                jnp.concatenate([patch_1_f, patch_2_f], axis=0),
+                m1p_sq * m2_sq, m2p_sq * m1_sq,
+                cfg.triplet_margin, cfg.triplet_aggregation,
+                False, True)
+            (mean_l1, mean_l2, mean_l3,
+             mean_f1, mean_f2, mean_f1p, _, _) = fm
+            ln3 = jnp.sum((jnp.matmul(h1, h2) - jnp.eye(3)) ** 2)
+            loss = ln1 + ln2 + cfg.mu * ln3
+            return {'loss': loss, 'delta_gt': data.get('delta'),
+                    'delta_hat': data[o1], 'metrics': {
+                        'loss_comp/l1': mean_l1, 'loss_comp/l2': mean_l2,
+                        'loss_comp/l3': mean_l3,
+                        'loss_comp/ln1': ln1, 'loss_comp/ln2': ln2,
+                        'loss_comp/ln3': cfg.mu * ln3,
+                        'h/h1': jnp.sum((h1 - jnp.eye(3)) ** 2),
+                        'h/h2': jnp.sum((h2 - jnp.eye(3)) ** 2),
+                        'feature_space/patch_2_f': mean_f2,
+                        'feature_space/patch_1_f_prime': mean_f1p,
+                        'feature_space/patch_1_f': mean_f1}}
+
         l1 = jnp.abs(patch_1_f_prime - patch_2_f)
         l3 = jnp.abs(patch_1_f - patch_2_f)
         loss_mat_1 = self._triplet_margin_aggregate(l1, l3,
                                                     cfg.triplet_margin,
                                                     cfg.triplet_aggregation,
                                                     second_elem=False)
-        m2_sq = patch_2_m[..., 0]
-        m1p_sq = patch_1_m_prime[..., 0]
         ln1_den = jnp.sum(m1p_sq * m2_sq, axis=(-2, -1))
         ln1 = jnp.sum(m1p_sq * m2_sq * loss_mat_1, axis=(-2, -1)) / \
             jnp.maximum(ln1_den, 1.0)
@@ -525,8 +555,15 @@ class AssembledModel(nn.Module):
         # backward.
         plain = jnp.concatenate([self._maybe_upsample(patch_1),
                                  self._maybe_upsample(patch_2)], axis=0)
-        feats_plain = self._aux_features(jax.lax.stop_gradient(plain),
-                                         train=train)
+        # Output stop_gradient too: the plain patches are data (no delta
+        # path), so the only cotangents this pass could produce are the
+        # frozen-extractor PARAM grads, which the trainer structurally
+        # discards (trainer.py loss_fn stop-gradients auxiliary_resnet,
+        # ref: PerceptualHead.py:35-39 requires_grad=False). Killing them
+        # here keeps apply-level autodiff consistent with the fused loss
+        # path and skips the dead weight-grad convs outside the trainer.
+        feats_plain = jax.lax.stop_gradient(
+            self._aux_features(jax.lax.stop_gradient(plain), train=train))
         patch_1_f, patch_2_f = jnp.split(feats_plain, 2, axis=0)
         if doubleline:
             warped_in = jnp.concatenate(
@@ -593,6 +630,43 @@ class AssembledModel(nn.Module):
                                    axis=(-2, -1)) / jnp.maximum(den, 1.0)
             loss = jnp.sum(loss_vec)
 
+        elif doubleline and (cfg.triplet_distance == 'l1'
+                             and fused_loss.use_fused_loss()):
+            # Fused distance/mask-norm chain (ops/fused_loss.py): one
+            # custom-vjp op replaces the ~20-kernel open-coded tail —
+            # launch-floor relief on a runtime with a ~45us/op floor.
+            # Exact same math; parity pinned by tests/test_fused_loss.py.
+            m1p_sq = patch_1_m_prime_d[..., 0]
+            m2_sq = patch_2_m_d[..., 0]
+            m2p_sq = patch_2_m_prime_d[..., 0]
+            m1_sq = patch_1_m_d[..., 0]
+            ln1, ln2, fm = fused_loss.triplet_double_line(
+                jnp.concatenate([patch_1_f_prime, patch_2_f_prime], axis=0),
+                jnp.concatenate([patch_1_f, patch_2_f], axis=0),
+                m1p_sq * m2_sq, m2p_sq * m1_sq,
+                cfg.triplet_margin, cfg.triplet_aggregation,
+                True,      # second_scale: the reference's margin*C quirk
+                False)     # plain features are stop_gradient'd above
+            ln3 = jnp.sum((jnp.matmul(h1, h2) - jnp.eye(3)) ** 2)
+            loss = ln1 + ln2 + cfg.triplet_mu * ln3
+            (mean_l1, mean_l2, mean_l3,
+             mean_f1, mean_f2, mean_f1p, min_den1, min_den2) = fm
+            metrics.update({'loss_comp/ln1': ln1, 'loss_comp/ln2': ln2,
+                            'loss_comp/ln3': cfg.triplet_mu * ln3,
+                            'loss_den/l1_den': min_den1,
+                            'loss_den/l2_den': min_den2,
+                            'loss_comp/l2': mean_l2,
+                            'h/h2': jnp.sum((h2 - jnp.eye(3)) ** 2),
+                            # The shared-metrics block below recomputes
+                            # these as separate full-map reduces; the
+                            # fused op already produced them — override
+                            # (same values) so XLA DCEs the extra passes.
+                            'feature_space/patch_1_f': mean_f1,
+                            'feature_space/patch_2_f': mean_f2,
+                            'feature_space/patch_1_f_prime': mean_f1p,
+                            'loss_comp/l1': mean_l1,
+                            'loss_comp/l3': mean_l3})
+
         elif doubleline:
             l1 = self._triplet_distances(patch_1_f_prime, patch_2_f)
             l2 = self._triplet_distances(patch_2_f_prime, patch_1_f)
@@ -633,14 +707,22 @@ class AssembledModel(nn.Module):
         if loss_dual is not None:
             loss = loss + loss_dual
 
-        metrics.update({
-            'feature_space/patch_1_f': jnp.mean(patch_1_f),
-            'feature_space/patch_2_f': jnp.mean(patch_2_f),
-            'feature_space/patch_1_f_prime': jnp.mean(patch_1_f_prime),
-            'loss_comp/l1': jnp.mean(jnp.abs(patch_2_f - patch_1_f_prime)),
-            'loss_comp/l3': jnp.mean(jnp.abs(patch_2_f - patch_1_f)),
-            'h/h1': jnp.sum((h1 - jnp.eye(3)) ** 2),
-        })
+        # setdefault: the fused-loss branch already produced these scalars
+        # inside its single traversal — recomputing them here would emit
+        # five extra full-map reduce kernels.
+        for key, fn in (
+            ('feature_space/patch_1_f', lambda: jnp.mean(patch_1_f)),
+            ('feature_space/patch_2_f', lambda: jnp.mean(patch_2_f)),
+            ('feature_space/patch_1_f_prime',
+             lambda: jnp.mean(patch_1_f_prime)),
+            ('loss_comp/l1',
+             lambda: jnp.mean(jnp.abs(patch_2_f - patch_1_f_prime))),
+            ('loss_comp/l3',
+             lambda: jnp.mean(jnp.abs(patch_2_f - patch_1_f))),
+            ('h/h1', lambda: jnp.sum((h1 - jnp.eye(3)) ** 2)),
+        ):
+            if key not in metrics:
+                metrics[key] = fn()
         delta_hat = self._score_weighted_delta(delta_hats_12, scores, b, n)
         return {'loss': loss, 'delta_gt': data.get('delta'),
                 'delta_hat': delta_hat, 'metrics': metrics}
