@@ -12,6 +12,9 @@ cd "$(dirname "$0")/.."
 
 MARGIN="${MARGIN:-0.02}"
 EPOCHS="${EPOCHS:-5}"
+# SEED != 42 gives an independent run of the same recipe (datagen/sampler
+# stream only; TEST_SEED stays 42 so eval MACE is comparable across seeds).
+SEED="${SEED:-42}"
 # AUX / LOGDIR select an alternative frozen extractor + run directory
 # (e.g. AUX=aux_cl.npz LOGDIR=log/zeng-bihome-scoco-cl for the
 # contrastive-distill extractor); defaults reproduce the recorded demo.
@@ -93,4 +96,5 @@ python train.py --config_file config/s-coco/zeng-bihome-lr-1e-3.yaml \
     --set MODEL.HEAD.TRIPLET_AGGREGATION=channel-aware \
     --set "MODEL.HEAD.TRIPLET_MARGIN=$MARGIN" \
     --set SOLVER.GRADIENT_CLIP=1.0 \
-    --set SOLVER.LR=1e-4
+    --set SOLVER.LR=1e-4 \
+    --set "DATA.SAMPLER.TRAIN_SEED=$SEED"

@@ -199,6 +199,21 @@ def flagship():
     # patch/mask warps at 128x128 (geometry.ones_warp_mask dropped the mask
     # channel). Dominant: 2 image warps [B=64 doubled], P=128*128, W=128, C=1.
     rows += tent_warp('loss-warp', 128, 128 * 128, 128, 1, bwd=True)
+    # biHomE triplet distance/mask-norm chain (heads/assembled.py
+    # _triplet_resnet_loss lines 596-629; ref: PerceptualHead.py:540-665):
+    # l1=|f1'-f2|, l2=|f2'-f1|, l3=|f1-f2| over [2B,32,32,64] bf16 feature
+    # maps (16.8 MB per map-pass), channel hinge-aggregate, two
+    # support-mask-weighted normalized sums; plus the closed-form support
+    # masks avg-pooled 128->32 ([2B,128,128,1]). Perfect-fusion floor:
+    #   fwd  read feats_plain + feats_w + wmask pool      ~46 MB
+    #   bwd  write d(feats_w) + re-read both feats + masks ~63 MB
+    # VPU: ~10 f32 ops/feature-elem fwd, ~14 bwd over 2B*32*32*64 elems.
+    fe = 2.0 * 128 * 32 * 32 * 64                  # one bf16 feature map
+    mk = 2.0 * 128 * 128 * 128                     # wmask [2B,128,128,1]
+    vpu_l = 128 * 32 * 32 * 64 / 4e12 * 1e3        # ms per op-per-elem
+    rows += [('loss', 'fwd', 0.0, 1.0, 2 * fe + mk + fe / 8,
+              10 * vpu_l),
+             ('loss', 'bwd', 0.0, 1.0, 3 * fe + mk / 2, 14 * vpu_l)]
     # datagen warp: window-first, B=64 source crops, C=1, no bwd
     rows += tent_warp('datagen', 64, 128 * 128, 128, 1, bwd=False)
     return rows
