@@ -198,9 +198,19 @@ def flagship():
     # features? No -- warps run on 64-ch aux features at 32x32 + the C==1
     # patch/mask warps at 128x128 (geometry.ones_warp_mask dropped the mask
     # channel). Dominant: 2 image warps [B=64 doubled], P=128*128, W=128, C=1.
-    rows += tent_warp('loss-warp', 128, 128 * 128, 128, 1, bwd=True)
+    # NB bucket name: with the C==1 custom warp VJP the flagship's loss
+    # warps attribute under fwd:loss/bwd:loss (not loss-warp) — model
+    # them under 'loss' so the join lines up. Measured r5: the loss
+    # bucket is 3 ops of tent contraction (fwd 0.80, bwd 0.88+0.86 ms)
+    # + ~0.3 ms misc; the bwd sits ~1.6x over this ceiling because XLA
+    # materializes the [B,P,W] tent weights for the two backward
+    # consumers (the fwd builds them inline). Alternatives measured
+    # worse: Pallas kernel (r2, VPU tent floor), distance-chain fusion
+    # (r5: zeng-neutral — the distances were already small here).
+    rows += tent_warp('loss', 128, 128 * 128, 128, 1, bwd=True)
     # biHomE triplet distance/mask-norm chain (heads/assembled.py
-    # _triplet_resnet_loss lines 596-629; ref: PerceptualHead.py:540-665):
+    # _triplet_resnet_loss; fused via ops/fused_loss.py r5;
+    # ref: PerceptualHead.py:540-665):
     # l1=|f1'-f2|, l2=|f2'-f1|, l3=|f1-f2| over [2B,32,32,64] bf16 feature
     # maps (16.8 MB per map-pass), channel hinge-aggregate, two
     # support-mask-weighted normalized sums; plus the closed-form support
