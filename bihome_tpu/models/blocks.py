@@ -16,7 +16,8 @@ from flax import linen as nn
 from flax.linen import initializers
 
 from bihome_tpu.models.resnet import conv_init
-from bihome_tpu.ops.deconv import ConvTranspose2x2, fused_deconv_conv3x3
+from bihome_tpu.ops.deconv import (ConvTranspose2x2, fused_deconv_conv3x3,
+                                   fused_deconv_conv3x3_bn_relu)
 
 
 class _RawParams(nn.Module):
@@ -34,6 +35,35 @@ class _RawParams(nn.Module):
 def _bn(train: bool, dtype, name: str):
     return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                         epsilon=1e-5, dtype=dtype, name=name)
+
+
+class _BNVars(nn.Module):
+    """Owns a BatchNorm's param/stat tree (same names/shapes/inits as flax
+    ``nn.BatchNorm``: params scale/bias, batch_stats mean/var) for fused
+    paths that compute the normalization themselves. Call once to read
+    ``(scale, bias, mean, var)``; call again with batch stats to apply the
+    running-average update (flax rule: m*old + (1-m)*batch)."""
+    features: int
+    momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, mu=None, var=None):
+        scale = self.param('scale', initializers.ones_init(),
+                           (self.features,), jnp.float32)
+        bias = self.param('bias', initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros((self.features,),
+                                                  jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones((self.features,),
+                                                jnp.float32))
+        if mu is not None and not self.is_initializing():
+            ra_mean.value = (self.momentum * ra_mean.value
+                             + (1.0 - self.momentum) * mu)
+            ra_var.value = (self.momentum * ra_var.value
+                            + (1.0 - self.momentum) * var)
+        return scale, bias, ra_mean.value, ra_var.value
 
 
 class ResNet34ConvBlock(nn.Module):
@@ -152,7 +182,18 @@ class ResNet50DeconvBlock(nn.Module):
         # (ops/deconv.fused_deconv_conv3x3): 2.5x fewer FLOPs, no full-res
         # intermediate in HBM. Exact reparameterization — same params.
         # BIHOME_DECONV_FUSE=off restores the two-op composition.
-        if os.environ.get('BIHOME_DECONV_FUSE', 'on') != 'off':
+        fuse_deconv = os.environ.get('BIHOME_DECONV_FUSE', 'on') != 'off'
+        # BN+ReLU folded into the fused block's custom VJP: the backward
+        # reconstructs the BN input from the block OUTPUT, so the pre-BN
+        # full-res activation is never saved as an autodiff residual
+        # (ops/deconv.fused_deconv_conv3x3_bn_relu). Same param tree.
+        # Measured r5 (BENCH_NOTES): zeng 2,090 vs 2,097 pairs/s —
+        # neutral; the pass-count saving is offset by the z_hat residual
+        # (the residual-free formulation is mathematically impossible:
+        # BN's batch-stat feedback is dense in z_hat). Default off.
+        fuse_bn = (fuse_deconv and
+                   os.environ.get('BIHOME_DECONV_BN', 'off') == 'fused')
+        if fuse_deconv:
             wd, bd = _RawParams(
                 specs=(('kernel', (2, 2, features, features),
                         initializers.lecun_normal()),
@@ -161,8 +202,17 @@ class ResNet50DeconvBlock(nn.Module):
             (w1,) = _RawParams(
                 specs=(('kernel', (3, 3, features, features), conv_init),),
                 name='upper_conv1')()
-            upper = fused_deconv_conv3x3(x.astype(self.dtype), wd, bd, w1,
-                                         dtype=self.dtype)
+            if fuse_bn:
+                bn_vars = _BNVars(features=features, name='upper_bn1')
+                scale, bias, ra_mean, ra_var = bn_vars()
+                upper, mu, var = fused_deconv_conv3x3_bn_relu(
+                    x.astype(self.dtype), wd, bd, w1, scale, bias,
+                    ra_mean, ra_var, train=train, dtype=self.dtype)
+                if train:
+                    bn_vars(mu, var)
+            else:
+                upper = fused_deconv_conv3x3(x.astype(self.dtype), wd, bd,
+                                             w1, dtype=self.dtype)
         else:
             upper = ConvTranspose2x2(features, use_bias=True,
                                      dtype=self.dtype,
@@ -170,8 +220,9 @@ class ResNet50DeconvBlock(nn.Module):
             upper = nn.Conv(features, (3, 3), padding=1, use_bias=False,
                             kernel_init=conv_init, dtype=self.dtype,
                             name='upper_conv1')(upper)
-        upper = _bn(train, self.dtype, 'upper_bn1')(upper)
-        upper = nn.relu(upper)
+        if not fuse_bn:
+            upper = _bn(train, self.dtype, 'upper_bn1')(upper)
+            upper = nn.relu(upper)
         upper = nn.Conv(features // 2, (1, 1), use_bias=False,
                         kernel_init=conv_init, dtype=self.dtype,
                         name='upper_conv2')(upper)

@@ -25,6 +25,7 @@ stock autodiff path.
 from __future__ import annotations
 
 import os
+from functools import partial
 from typing import Any
 
 import jax
@@ -212,6 +213,107 @@ def _pca_bwd(res, g):
 _phase_conv_assemble.defvjp(_pca_fwd, _pca_bwd)
 
 
+def _deconv_bias_field(w1: jax.Array, bd: jax.Array, h: int,
+                       w: int) -> jax.Array:
+    """Closed-form deconv-bias contribution to conv3x3(deconv(x)+bd):
+    sum over valid conv3x3 taps of w1.bd per output pixel — constant in
+    the interior, border-corrected via separable tap masks. [2h,2w,Cout]."""
+    tb = jnp.einsum('abmo,m->abo', w1.astype(jnp.float32),
+                    bd.astype(jnp.float32))
+    taps = jnp.arange(3)
+
+    def tap_mask(size):
+        pos = jnp.arange(2 * size)[:, None] + taps[None, :] - 1
+        return ((pos >= 0) & (pos < 2 * size)).astype(jnp.float32)
+
+    return jnp.einsum('pa,qb,abo->pqo', tap_mask(h), tap_mask(w), tb)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _pcbr(x, kfull, v, gamma, beta, eps):
+    """phase-conv + bias field + train-mode BatchNorm + ReLU, one op.
+
+    -> (y, mu, var): mu/var are the BATCH statistics (f32, for the
+    caller's running-average update; stop_gradient'd — the normalize
+    path's dependence on them is handled inside the backward).
+
+    The custom VJP saves the NORMALIZED activation z_hat (same size as
+    the raw z stock autodiff saves — reconstructing it from the block
+    output is impossible: the BN batch-stat feedback term z_hat*S2/M is
+    dense over ALL elements, including ReLU-clipped ones where the
+    output carries no information; measured r5, see BENCH_NOTES) and
+    hand-writes the backward as exactly TWO full-res passes: one
+    multi-output reduce for (S1, S2) and one pass emitting dz — where
+    stock autodiff spends ~3-4 (relu mask, stat reduces re-reading z,
+    normalize-recompute, combine). The three-term train-mode BN
+    gradient (through mu and var) is exact.
+    """
+    return _pcbr_fwd(x, kfull, v, gamma, beta, eps)[0]
+
+
+def _pcbr_impl(x, kfull, v, gamma, beta, eps):
+    z = _pca_impl(x, kfull)
+    z = z + v.astype(z.dtype)[None]
+    zf32 = z.astype(jnp.float32)
+    mu = jnp.mean(zf32, axis=(0, 1, 2))
+    var = jnp.mean(jnp.square(zf32), axis=(0, 1, 2)) - mu * mu
+    inv = jax.lax.rsqrt(var + eps)
+    z_hat = (zf32 - mu) * inv
+    a = z_hat * gamma + beta
+    y = jnp.maximum(a, 0.0).astype(z.dtype)
+    return y, mu, var, inv, z_hat
+
+
+def _pcbr_fwd(x, kfull, v, gamma, beta, eps):
+    y, mu, var, inv, z_hat = _pcbr_impl(x, kfull, v, gamma, beta, eps)
+    out = (y, jax.lax.stop_gradient(mu), jax.lax.stop_gradient(var))
+    return out, (x, kfull, y, z_hat.astype(y.dtype), gamma, inv)
+
+
+def _pcbr_bwd(eps, res, g):
+    gy, _, _ = g                     # mu/var outputs are non-differentiable
+    x, kfull, y, z_hat, gamma, inv = res
+    f32 = jnp.float32
+    z_hat = z_hat.astype(f32)
+    da = jnp.where(y > 0, gy.astype(f32), 0.0)
+    m = float(y.shape[0] * y.shape[1] * y.shape[2])
+    s1 = jnp.sum(da, axis=(0, 1, 2))
+    s2 = jnp.sum(da * z_hat, axis=(0, 1, 2))
+    dz = ((gamma * inv) * (da - s1 / m - z_hat * (s2 / m))).astype(x.dtype)
+    dx, dkfull = _pca_bwd((x, kfull), dz)
+    dv = jnp.sum(dz, axis=0).astype(f32)
+    return dx, dkfull, dv, s2, s1
+
+
+_pcbr.defvjp(_pcbr_fwd, _pcbr_bwd)
+
+
+def fused_deconv_conv3x3_bn_relu(x: jax.Array, wd: jax.Array,
+                                 bd: jax.Array, w1: jax.Array,
+                                 gamma: jax.Array, beta: jax.Array,
+                                 ra_mean: jax.Array, ra_var: jax.Array,
+                                 train: bool, eps: float = 1e-5,
+                                 dtype=jnp.float32):
+    """relu(BN(conv3x3(SAME)(ConvTranspose2x2(x; wd, bd); w1))) without
+    materializing either the upsampled intermediate or (in training) the
+    pre-BN activation z for the backward — see ``_pcbr``.
+
+    -> (y, mu, var): batch stats in train mode, running stats in eval
+    (caller updates its running-average variables from mu/var exactly
+    like flax ``nn.BatchNorm``)."""
+    n, h, w, _ = x.shape
+    kfull = compose_deconv2x2_conv3x3(wd, w1).astype(dtype)
+    v = _deconv_bias_field(w1, bd, h, w)
+    xc = x.astype(dtype)
+    if train:
+        y, mu, var = _pcbr(xc, kfull, v, gamma, beta, eps)
+        return y, mu, var
+    z = _pca_impl(xc, kfull) + v.astype(dtype)[None]
+    inv = jax.lax.rsqrt(ra_var + eps)
+    a = (z.astype(jnp.float32) - ra_mean) * (inv * gamma) + beta
+    return jnp.maximum(a, 0.0).astype(dtype), ra_mean, ra_var
+
+
 def fused_deconv_conv3x3(x: jax.Array, wd: jax.Array, bd: jax.Array,
                          w1: jax.Array, dtype=jnp.float32) -> jax.Array:
     """conv3x3(SAME, no bias)(bias + ConvTranspose2x2(x; wd)) without ever
@@ -232,16 +334,7 @@ def fused_deconv_conv3x3(x: jax.Array, wd: jax.Array, bd: jax.Array,
     impl = (_pca_impl if os.environ.get('BIHOME_DC_BWD') == 'xla'
             else _phase_conv_assemble)
     y = impl(x.astype(dtype), kfull)
-
-    tb = jnp.einsum('abmo,m->abo', w1.astype(jnp.float32),
-                    bd.astype(jnp.float32))
-    taps = jnp.arange(3)
-
-    def tap_mask(size):
-        pos = jnp.arange(2 * size)[:, None] + taps[None, :] - 1
-        return ((pos >= 0) & (pos < 2 * size)).astype(jnp.float32)
-
-    v = jnp.einsum('pa,qb,abo->pqo', tap_mask(h), tap_mask(w), tb)
+    v = _deconv_bias_field(w1, bd, h, w)
     return y + v.astype(y.dtype)[None]
 
 

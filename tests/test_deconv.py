@@ -129,3 +129,88 @@ class TestFusedDeconvConv3x3:
             lambda a, b: np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b)), v_f, v_u)
         np.testing.assert_allclose(y_f, y_u, rtol=1e-4, atol=1e-4)
+
+
+class TestFusedDeconvConvBNRelu:
+    """BIHOME_DECONV_BN=fused folds upper_bn1+ReLU into the fused deconv
+    block's custom VJP (backward reconstructs the BN input from the block
+    output — ops/deconv._pcbr). Must match the unfused composition in
+    outputs, running-stat updates, and every cotangent."""
+
+    def _block_run(self, monkeypatch, bn_mode, train=True):
+        from bihome_tpu.models.blocks import ResNet50DeconvBlock
+        monkeypatch.setenv('BIHOME_DECONV_FUSE', 'on')
+        monkeypatch.setenv('BIHOME_DECONV_BN', bn_mode)
+        x = jax.random.normal(jax.random.PRNGKey(5), (2, 6, 6, 8),
+                              jnp.float32)
+        g = jax.random.normal(jax.random.PRNGKey(6), (2, 12, 12, 4),
+                              jnp.float32)
+        block = ResNet50DeconvBlock()
+        v = block.init(jax.random.PRNGKey(3), x, train=True)
+
+        def loss(params, x):
+            y, mut = block.apply({**v, 'params': params}, x, train=train,
+                                 mutable=['batch_stats'])
+            return jnp.sum(y * g), mut
+
+        (val, mut), grads = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(v['params'], x)
+        return val, mut, grads
+
+    def test_train_outputs_stats_and_gradients(self, monkeypatch):
+        val_f, mut_f, g_f = self._block_run(monkeypatch, 'fused')
+        val_u, mut_u, g_u = self._block_run(monkeypatch, 'off')
+        np.testing.assert_allclose(float(val_f), float(val_u),
+                                   rtol=1e-5, atol=1e-5)
+        # running-average updates identical (flax momentum rule)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+            mut_f, mut_u)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+            g_f, g_u)
+
+    def test_eval_matches_unfused(self, monkeypatch):
+        val_f, _, _ = self._block_run(monkeypatch, 'fused', train=False)
+        val_u, _, _ = self._block_run(monkeypatch, 'off', train=False)
+        np.testing.assert_allclose(float(val_f), float(val_u),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_relu_dead_zone_cotangent(self, monkeypatch):
+        """The backward reconstructs z_hat only where y > 0; elements the
+        ReLU clipped must contribute exactly zero, matching autodiff even
+        when most of the map is dead (large negative bn bias)."""
+        from bihome_tpu.ops import deconv as dc
+        rng = np.random.RandomState(7)
+        x = jnp.asarray(rng.randn(2, 4, 5, 3).astype(np.float32))
+        wd = jnp.asarray(rng.randn(2, 2, 4, 3).astype(np.float32))
+        bd = jnp.asarray(rng.randn(4).astype(np.float32))
+        w1 = jnp.asarray(rng.randn(3, 3, 4, 6).astype(np.float32))
+        gamma = jnp.asarray(rng.rand(6).astype(np.float32) + 0.5)
+        beta = jnp.asarray(rng.randn(6).astype(np.float32) - 1.0)
+        zeros = jnp.zeros((6,), jnp.float32)
+        ones = jnp.ones((6,), jnp.float32)
+
+        def fused(x, wd, bd, w1, gamma, beta):
+            y, _, _ = dc.fused_deconv_conv3x3_bn_relu(
+                x, wd, bd, w1, gamma, beta, zeros, ones, train=True)
+            return jnp.sum(jnp.sin(y))
+
+        def unfused(x, wd, bd, w1, gamma, beta):
+            z = dc.fused_deconv_conv3x3(x, wd, bd, w1)
+            zf = z.astype(jnp.float32)
+            mu = jnp.mean(zf, axis=(0, 1, 2))
+            var = jnp.mean(jnp.square(zf), axis=(0, 1, 2)) - mu * mu
+            inv = jax.lax.rsqrt(var + 1e-5)
+            y = jnp.maximum((zf - mu) * (inv * gamma) + beta, 0.0)
+            return jnp.sum(jnp.sin(y))
+
+        gf = jax.grad(fused, argnums=(0, 1, 2, 3, 4, 5))(
+            x, wd, bd, w1, gamma, beta)
+        gu = jax.grad(unfused, argnums=(0, 1, 2, 3, 4, 5))(
+            x, wd, bd, w1, gamma, beta)
+        for a, b in zip(gf, gu):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
