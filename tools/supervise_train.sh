@@ -33,6 +33,11 @@ alive() {
 attempt=0
 while :; do
   attempt=$((attempt + 1))
+  # Attempts after the first are CRASH RECOVERY: force auto-resume so a
+  # wrapped demo script (tools/run_*.sh) cannot rm -rf its logdir and
+  # restart the schedule from scratch (observed r5: a wedge restart
+  # without RESUME=1 wiped 7 epochs of a PDS seed run).
+  [ "$attempt" -gt 1 ] && export RESUME=1
   echo "=== supervise: attempt $attempt (step $(last_step)/$TARGET_STEP) ==="
   # setsid: the command gets its own process GROUP, so a stall kill reaches
   # every descendant. Killing only $PID is not enough when the command is a
