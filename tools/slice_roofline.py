@@ -323,10 +323,12 @@ def zhang():
     rows += feat_extractor('feature_extractor', 128)       # main [2B] pass
     rows += feat_extractor('feature_extractor', 64)        # warp(p1) pass
     rows += feat_extractor('feature_extractor', 64)        # warp(p2) pass
-    # 2 patch warps [B,P=16k,W=128,C=1] fwd+bwd (masks are closed-form)
-    rows += tent_warp('loss-warp', 64, 128 * 128, 128, 1, bwd=True)
-    rows += tent_warp('loss-warp', 64, 128 * 128, 128, 1, bwd=True)
-    # triplet distance maps: ~6 passes over [B,128,128,1] f32 loss space
+    # 2 patch warps [B,P=16k,W=128,C=1] fwd+bwd (masks are closed-form);
+    # bucketed under 'loss' — the r5 traces attribute the tent ops there
+    rows += tent_warp('loss', 64, 128 * 128, 128, 1, bwd=True)
+    rows += tent_warp('loss', 64, 128 * 128, 128, 1, bwd=True)
+    # triplet distance maps: ONE fused custom-vjp op since r5
+    # (ops/fused_loss.py; the open-coded chain burned ~0.8 ms here)
     rows += [('loss', 'fwd', 0.0, 1.0, 6 * 4.0 * 64 * 128 * 128),
              ('loss', 'bwd', 0.0, 1.0, 9 * 4.0 * 64 * 128 * 128)]
     _datagen_rows(rows, 64, pds=True)
